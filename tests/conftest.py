@@ -1,0 +1,20 @@
+"""Test env: force the CPU backend with 8 virtual devices.
+
+This is the standard JAX trick for exercising pjit/shard_map/collectives
+without a TPU slice (SURVEY.md §4). Numeric tests also run on CPU so they are
+deterministic and independent of the tunneled device.
+
+Note: this image's sitecustomize imports jax at interpreter startup (axon PJRT
+plugin), so env vars set here are too late — we must go through jax.config,
+which works any time before the backend is first initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")

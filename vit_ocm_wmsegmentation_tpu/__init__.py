@@ -1,0 +1,14 @@
+"""TPU-native white-matter OCM segmentation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+linum-uqam/ViT-OCM-WMSegmentation (MLMI-2023): unsupervised segmentation of
+optical coherence microscopy images by thresholding the self-attention maps of
+a DINO ViT-S/8, plus SimMIM pretraining, sliding-window gigapixel inference,
+classical segmentation back-ends, supervised UNet / linear-probing baselines,
+pseudo-ground-truth distillation, and the Allen-brain side experiments.
+
+Design: pure-function models (params as pytrees), all per-image post-processing
+fused into jitted XLA graphs, tile batches sharded over a `jax.sharding.Mesh`.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,300 @@
+"""DINO-style Vision Transformer, pure-function / pytree edition.
+
+Capability-parity with the reference backbone
+(/root/reference/Self-supervised_segmentation/dino/vision_transformer.py):
+
+* timm-style ViT with fused qkv, pre-norm blocks, exact-erf GELU, LayerNorm
+  eps 1e-6, CLS token, learned positional embeddings with bicubic
+  interpolation to arbitrary image sizes (:176-196), and the attention /
+  qkv extraction entry points (:225-256).
+
+TPU-first deviations from the torch design:
+
+* patch embedding is a reshape + one MXU matmul instead of a conv (:127);
+* block parameters are stacked along a leading depth axis and the
+  non-extracted blocks run under ``lax.scan`` (one compiled block, L
+  iterations — fast compiles, natural remat boundary);
+* the inference path never materializes an (N, N) attention matrix: the
+  last block reduces to a CLS-row softmax (ops/attention.py) because the
+  downstream pipeline consumes only attn[:, :, 0, 1:] (utils.py:229-235);
+* positional-embedding interpolation lowers to two small einsums built at
+  trace time, so it fuses into the jitted graph instead of running per
+  image on the host.
+
+Weight layouts are chosen so `train/checkpoint.py` can map torch DINO
+checkpoints 1:1 (kernels transposed to (in, out)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from ..ops import attention as att
+from ..ops.resize import bicubic_matrix
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    patch_size: int = 8
+    embed_dim: int = 384
+    depth: int = 12
+    num_heads: int = 6
+    mlp_ratio: int = 4
+    qkv_bias: bool = True
+    ln_eps: float = 1e-6
+    # image size the positional-embedding table is sized for (DINO pretrains
+    # at 224; other sizes interpolate, vision_transformer.py:176)
+    pretrain_img_size: int = 224
+
+    @property
+    def pos_grid(self) -> int:
+        return self.pretrain_img_size // self.patch_size
+
+    @property
+    def num_pos_tokens(self) -> int:
+        return self.pos_grid * self.pos_grid + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+
+# Factory configs mirroring vit_tiny/small/base (vision_transformer.py:259-279)
+VIT_TINY = partial(ViTConfig, embed_dim=192, depth=12, num_heads=3)
+VIT_SMALL = partial(ViTConfig, embed_dim=384, depth=12, num_heads=6)
+VIT_BASE = partial(ViTConfig, embed_dim=768, depth=12, num_heads=12)
+
+ARCHS = {"vit_tiny": VIT_TINY, "vit_small": VIT_SMALL, "vit_base": VIT_BASE}
+
+
+def init(cfg: ViTConfig, key, dtype=jnp.float32):
+    """Random init matching the reference scheme: trunc-normal(0.02) for
+    linear weights / pos-embed / cls-token, zeros for biases and LN bias."""
+    d, L, mlp = cfg.embed_dim, cfg.depth, cfg.embed_dim * cfg.mlp_ratio
+    pdim = cfg.patch_size * cfg.patch_size * 3
+    keys = jax.random.split(key, 8)
+
+    def tn(k, shape):
+        return nn.trunc_normal(k, shape, std=0.02, dtype=dtype)
+
+    bkeys = jax.random.split(keys[0], 4 * L).reshape((4, L) + keys[0].shape)
+    blocks = {
+        "norm1": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+        "attn": {
+            "wqkv": jax.vmap(lambda k: tn(k, (d, 3 * d)))(bkeys[0]),
+            "wo": jax.vmap(lambda k: tn(k, (d, d)))(bkeys[1]),
+            "bo": jnp.zeros((L, d), dtype),
+        },
+        "norm2": {"scale": jnp.ones((L, d), dtype), "bias": jnp.zeros((L, d), dtype)},
+        "mlp": {
+            "w1": jax.vmap(lambda k: tn(k, (d, mlp)))(bkeys[2]),
+            "b1": jnp.zeros((L, mlp), dtype),
+            "w2": jax.vmap(lambda k: tn(k, (mlp, d)))(bkeys[3]),
+            "b2": jnp.zeros((L, d), dtype),
+        },
+    }
+    if cfg.qkv_bias:
+        blocks["attn"]["bqkv"] = jnp.zeros((L, 3 * d), dtype)
+    return {
+        "patch_embed": {"kernel": tn(keys[1], (pdim, d)), "bias": jnp.zeros((d,), dtype)},
+        "cls_token": tn(keys[2], (1, 1, d)),
+        "pos_embed": tn(keys[3], (1, cfg.num_pos_tokens, d)),
+        "blocks": blocks,
+        "norm": {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)},
+    }
+
+
+def block_params(params, i):
+    """Slice block i out of the stacked block pytree."""
+    return jax.tree.map(lambda a: a[i], params["blocks"])
+
+
+def interpolate_pos_embed(params, cfg: ViTConfig, grid_hw):
+    """Positional embeddings for a (gh, gw) patch grid, CLS row included.
+
+    Replicates interpolate_pos_encoding (vision_transformer.py:176-196):
+    bicubic with torch's A=-0.75 kernel and the reference's `+ 0.1` fudge on
+    the scale factor. Static-shape: lowers to two einsums.
+    """
+    gh, gw = grid_hw
+    g = cfg.pos_grid
+    pos = params["pos_embed"]
+    if gh == g and gw == g:
+        return pos
+    cls_pos, patch_pos = pos[:, :1], pos[:, 1:]
+    d = pos.shape[-1]
+    grid = patch_pos.reshape(g, g, d)
+    # reference computes scale = (w0 + 0.1) / sqrt(N) and floor(g*scale) == w0
+    my = jnp.asarray(bicubic_matrix(g, gh, (gh + 0.1) / g), pos.dtype)
+    mx = jnp.asarray(bicubic_matrix(g, gw, (gw + 0.1) / g), pos.dtype)
+    out = jnp.einsum("oh,hwd->owd", my, grid)
+    out = jnp.einsum("ow,hwd->hod", mx, out)
+    return jnp.concatenate([cls_pos, out.reshape(1, gh * gw, d)], axis=1)
+
+
+def prepare_tokens(params, cfg: ViTConfig, x):
+    """(B,H,W,3) image -> (B, 1+gh*gw, D) tokens with CLS + pos embed."""
+    b, h, w, _ = x.shape
+    patches = nn.patchify(x, cfg.patch_size)
+    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=x.dtype)
+    tok = tok + params["patch_embed"]["bias"]
+    cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, cfg.embed_dim))
+    tok = jnp.concatenate([cls, tok], axis=1)
+    pos = interpolate_pos_embed(params, cfg, (h // cfg.patch_size, w // cfg.patch_size))
+    return tok + pos.astype(tok.dtype)
+
+
+def _block_forward(bp, cfg: ViTConfig, x, *, fused=True):
+    """One pre-norm transformer block (vision_transformer.py:94-114)."""
+    h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
+    if fused:
+        y = att.mha_fused(h, bp["attn"], cfg.num_heads)
+    else:
+        y = att.mha(h, bp["attn"], cfg.num_heads)
+    x = x + y
+    h = nn.layer_norm(bp["norm2"], x, cfg.ln_eps)
+    h = nn.linear({"kernel": bp["mlp"]["w1"], "bias": bp["mlp"]["b1"]}, h)
+    h = nn.gelu(h)
+    h = nn.linear({"kernel": bp["mlp"]["w2"], "bias": bp["mlp"]["b2"]}, h)
+    return x + h
+
+
+def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, fused=True, remat=False):
+    """Run blocks [lo, hi) under lax.scan over the stacked depth axis."""
+    if hi <= lo:
+        return x
+    sliced = jax.tree.map(lambda a: a[lo:hi], params["blocks"])
+
+    def body(carry, bp):
+        return _block_forward(bp, cfg, carry, fused=fused), None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, sliced)
+    return x
+
+
+def forward_features(params, cfg: ViTConfig, x, *, remat=False):
+    """All blocks + final LayerNorm -> (B, N+1, D)  (forward_feats, :218-223)."""
+    tok = prepare_tokens(params, cfg, x)
+    tok = _scan_blocks(params, cfg, tok, 0, cfg.depth, remat=remat)
+    return nn.layer_norm(params["norm"], tok, cfg.ln_eps)
+
+
+def forward_cls(params, cfg: ViTConfig, x):
+    """CLS embedding (the reference's `forward`, :211-216)."""
+    return forward_features(params, cfg, x)[:, 0]
+
+
+def get_intermediate_layers(params, cfg: ViTConfig, x, n=1):
+    """Normed token outputs of the last n blocks (:248-256), stacked (n, B, N+1, D)."""
+    tok = prepare_tokens(params, cfg, x)
+    tok = _scan_blocks(params, cfg, tok, 0, cfg.depth - n)
+    outs = []
+    for i in range(cfg.depth - n, cfg.depth):
+        tok = _block_forward(block_params(params, i), cfg, tok)
+        outs.append(nn.layer_norm(params["norm"], tok, cfg.ln_eps))
+    return jnp.stack(outs)
+
+
+def get_intermediate_feat(params, cfg: ViTConfig, x, n=1):
+    """Reference get_intermediate_feat (:225-237): for the last n blocks,
+    return (feats, attns, qkvs) stacked on a leading n axis.
+
+    feats: (n, B, N+1, D) post-norm; attns: (n, B, h, N+1, N+1) materialized
+    probabilities; qkvs: (n, 3, B, h, N+1, head_dim).
+    """
+    tok = prepare_tokens(params, cfg, x)
+    tok = _scan_blocks(params, cfg, tok, 0, cfg.depth - n)
+    feats, attns, qkvs = [], [], []
+    for i in range(cfg.depth - n, cfg.depth):
+        bp = block_params(params, i)
+        h = nn.layer_norm(bp["norm1"], tok, cfg.ln_eps)
+        y, attn, qkv = att.mha(h, bp["attn"], cfg.num_heads, return_attn=True)
+        tok = tok + y
+        h = nn.layer_norm(bp["norm2"], tok, cfg.ln_eps)
+        h = nn.linear({"kernel": bp["mlp"]["w1"], "bias": bp["mlp"]["b1"]}, h)
+        h = nn.gelu(h)
+        tok = tok + nn.linear({"kernel": bp["mlp"]["w2"], "bias": bp["mlp"]["b2"]}, h)
+        feats.append(nn.layer_norm(params["norm"], tok, cfg.ln_eps))
+        attns.append(attn)
+        qkvs.append(qkv)
+    return jnp.stack(feats), jnp.stack(attns), jnp.stack(qkvs)
+
+
+def get_last_selfattention(params, cfg: ViTConfig, x):
+    """Materialized last-block attention (B, h, N+1, N+1)  (:239-246)."""
+    _, attns, _ = get_intermediate_feat(params, cfg, x, n=1)
+    return attns[0]
+
+
+def cls_attention_grid(params, cfg: ViTConfig, x):
+    """Hot inference path: last-block CLS-row attention as a patch grid.
+
+    Returns (B, h, gh, gw): equivalent to compute_attention's
+    attn[0, :, 0, 1:].reshape(h, gh, gw) (utils.py:229-233) for every
+    image in the batch, but computed without materializing any attention
+    matrix: blocks 0..L-2 run fused, the last block is one q-row.
+    (For query indices other than CLS use :func:`query_attention_rows`.)
+    """
+    b, hgt, wdt, _ = x.shape
+    gh, gw = hgt // cfg.patch_size, wdt // cfg.patch_size
+    tok = prepare_tokens(params, cfg, x)
+    tok = _scan_blocks(params, cfg, tok, 0, cfg.depth - 1)
+    bp = block_params(params, cfg.depth - 1)
+    h = nn.layer_norm(bp["norm1"], tok, cfg.ln_eps)
+    row = att.cls_row_attention(h, bp["attn"], cfg.num_heads)
+    return row[:, :, 1:].reshape(b, cfg.num_heads, gh, gw)
+
+
+def query_attention_rows(params, cfg: ViTConfig, x, queries):
+    """Attention rows for a static list of query token indices.
+
+    Supports the region-query / query-grid analysis modes
+    (analyse_attention.py:183-247) without materializing N^2: computes
+    softmax(q[queries] K^T) for the last block. queries: int array (Q,).
+    Returns (B, h, Q, N+1).
+    """
+    tok = prepare_tokens(params, cfg, x)
+    tok = _scan_blocks(params, cfg, tok, 0, cfg.depth - 1)
+    bp = block_params(params, cfg.depth - 1)
+    h = nn.layer_norm(bp["norm1"], tok, cfg.ln_eps)
+    d = cfg.embed_dim
+    wqkv, bqkv = bp["attn"]["wqkv"], bp["attn"].get("bqkv")
+    q = jnp.dot(h[:, queries, :], wqkv[:, :d], preferred_element_type=h.dtype)
+    k = jnp.dot(h, wqkv[:, d : 2 * d], preferred_element_type=h.dtype)
+    if bqkv is not None:
+        q = q + bqkv[:d]
+        k = k + bqkv[d : 2 * d]
+    b, nq, _ = q.shape
+    n = k.shape[1]
+    hd = cfg.head_dim
+    q = q.reshape(b, nq, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(b, n, cfg.num_heads, hd).transpose(0, 2, 1, 3)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * hd**-0.5
+    return jax.nn.softmax(logits, axis=-1).astype(h.dtype)
+
+
+def last_block_key_features(params, cfg: ViTConfig, x):
+    """Per-patch key vectors of the last block, (B, gh, gw, D).
+
+    Feeds the k-means feature-clustering method (eval.py:186-202), which
+    reshapes k to (B, N, D) and drops the CLS row.
+    """
+    b, hgt, wdt, _ = x.shape
+    gh, gw = hgt // cfg.patch_size, wdt // cfg.patch_size
+    tok = prepare_tokens(params, cfg, x)
+    tok = _scan_blocks(params, cfg, tok, 0, cfg.depth - 1)
+    bp = block_params(params, cfg.depth - 1)
+    h = nn.layer_norm(bp["norm1"], tok, cfg.ln_eps)
+    d = cfg.embed_dim
+    k = jnp.dot(h, bp["attn"]["wqkv"][:, d : 2 * d], preferred_element_type=h.dtype)
+    if "bqkv" in bp["attn"]:
+        k = k + bp["attn"]["bqkv"][d : 2 * d]
+    return k[:, 1:, :].reshape(b, gh, gw, d)
