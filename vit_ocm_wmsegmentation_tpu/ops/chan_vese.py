@@ -1,0 +1,81 @@
+"""Chan-Vese active-contour segmentation as a jitted lax.while_loop.
+
+Rebuilds skimage.segmentation.chan_vese (utils.py:199-225 calls it with
+mu=0.25, lambda1=lambda2=1, tol=1e-3, max_num_iter=200, dt=0.5,
+init_level_set='checkerboard') using the same semi-implicit update scheme
+(Getreuer, IPOL 2012): per iteration the level set is advanced with the
+region-average data terms and an implicit curvature smoothing, and the loop
+stops when the RMS level-set change drops below tol or the iteration budget
+is exhausted. Runs entirely on device with static shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def checkerboard_level_set(shape, square_size=5):
+    """skimage's checkerboard init: sin(pi/s * y) * sin(pi/s * x)."""
+    yy = jnp.arange(shape[0], dtype=jnp.float32)[:, None]
+    xx = jnp.arange(shape[1], dtype=jnp.float32)[None, :]
+    return jnp.sin(jnp.pi / square_size * yy) * jnp.sin(jnp.pi / square_size * xx)
+
+
+def _averages(image, phi):
+    inside = (phi > 0).astype(jnp.float32)
+    n_in = jnp.sum(inside)
+    n_out = jnp.sum(1.0 - inside)
+    c1 = jnp.sum(image * inside) / jnp.maximum(n_in, 1.0)
+    c2 = jnp.sum(image * (1.0 - inside)) / jnp.maximum(n_out, 1.0)
+    return c1, c2
+
+
+def _variation(image, phi, mu, lambda1, lambda2, dt):
+    """One semi-implicit level-set update."""
+    eta = 1e-16
+    p = jnp.pad(phi, 1, mode="edge")
+    phixp = p[1:-1, 2:] - p[1:-1, 1:-1]
+    phixn = p[1:-1, 1:-1] - p[1:-1, :-2]
+    phix0 = (p[1:-1, 2:] - p[1:-1, :-2]) / 2.0
+    phiyp = p[2:, 1:-1] - p[1:-1, 1:-1]
+    phiyn = p[1:-1, 1:-1] - p[:-2, 1:-1]
+    phiy0 = (p[2:, 1:-1] - p[:-2, 1:-1]) / 2.0
+
+    c1c = jax.lax.rsqrt(eta + phixp**2 + phiy0**2)
+    c2c = jax.lax.rsqrt(eta + phixn**2 + phiy0**2)
+    c3c = jax.lax.rsqrt(eta + phix0**2 + phiyp**2)
+    c4c = jax.lax.rsqrt(eta + phix0**2 + phiyn**2)
+
+    k = p[1:-1, 2:] * c1c + p[1:-1, :-2] * c2c + p[2:, 1:-1] * c3c + p[:-2, 1:-1] * c4c
+    c1, c2 = _averages(image, phi)
+    delta = dt / (jnp.pi * (1.0 + phi * phi))  # smoothed Dirac * dt
+    diff = -lambda1 * (image - c1) ** 2 + lambda2 * (image - c2) ** 2
+    new_phi = phi + delta * (mu * k + diff)
+    return new_phi / (1.0 + mu * delta * (c1c + c2c + c3c + c4c))
+
+
+def chan_vese(image, mu=0.25, lambda1=1.0, lambda2=1.0, tol=1e-3, max_num_iter=200, dt=0.5):
+    """Segment a grayscale image; returns a boolean (phi > 0) mask.
+
+    Like skimage, the image is shifted/scaled to [0, 1] first; uint8 inputs
+    are accepted directly (utils.py:208-211 passes uint8).
+    """
+    img = image.astype(jnp.float32)
+    img = img - jnp.min(img)
+    mx = jnp.max(img)
+    img = jnp.where(mx > 0, img / jnp.maximum(mx, 1e-38), img)
+    phi0 = checkerboard_level_set(img.shape)
+
+    def cond(state):
+        i, _, phivar = state
+        return jnp.logical_and(i < max_num_iter, phivar > tol)
+
+    def body(state):
+        i, phi, _ = state
+        new_phi = _variation(img, phi, mu, lambda1, lambda2, dt)
+        phivar = jnp.sqrt(jnp.mean(jnp.square(new_phi - phi)))
+        return i + 1, new_phi, phivar
+
+    _, phi, _ = jax.lax.while_loop(cond, body, (jnp.int32(0), phi0, jnp.float32(jnp.inf)))
+    return phi > 0

@@ -1,0 +1,154 @@
+"""Histogram thresholding (Otsu / Yen) and the reference's blend pipelines.
+
+All functions are jnp, shape-static, and jittable, so thresholding fuses into
+the inference graph right after the ViT instead of round-tripping to the host
+per image (the reference's single biggest inefficiency, SURVEY.md §3.1).
+
+Quantization parity notes (SURVEY.md "hard parts"): the reference blends in
+*uint8* with numpy true-division then truncation (utils.py:78-81) —
+``result = uint8(img/2 * 0.6 + uint8(attn*255)/2 * 0.4)`` — and cv2's Otsu
+operates on the 256-bin histogram of that uint8 image with pixels strictly
+greater than the threshold mapped to 255. We reproduce exactly that.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_FLT_EPSILON = jnp.float32(1.1920929e-07)
+
+
+def min_max_normalize(x):
+    """utils.py:55-60: map to [0,1]; constant images pass through unchanged."""
+    lo, hi = jnp.min(x), jnp.max(x)
+    return jnp.where(hi == lo, x, (x - lo) / (hi - lo))
+
+
+def histogram_u8(img_u8):
+    """256-bin histogram of a uint8 image (any shape)."""
+    one_hot = img_u8.reshape(-1, 1).astype(jnp.int32) == jnp.arange(256, dtype=jnp.int32)
+    return jnp.sum(one_hot, axis=0).astype(jnp.float32)
+
+
+def otsu_from_hist(hist):
+    """cv2 THRESH_OTSU: argmax over t of w1*w2*(mu1-mu2)^2, first max kept,
+    classes with vanishing mass skipped (modules/imgproc/src/thresh.cpp)."""
+    p = hist / jnp.sum(hist)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    w1 = jnp.cumsum(p)
+    mu_cum = jnp.cumsum(p * bins)
+    mu_total = mu_cum[-1]
+    w2 = 1.0 - w1
+    mu1 = mu_cum / jnp.maximum(w1, _FLT_EPSILON)
+    mu2 = (mu_total - mu_cum) / jnp.maximum(w2, _FLT_EPSILON)
+    sigma = w1 * w2 * jnp.square(mu1 - mu2)
+    valid = (jnp.minimum(w1, w2) >= _FLT_EPSILON) & (jnp.maximum(w1, w2) <= 1.0 - _FLT_EPSILON)
+    sigma = jnp.where(valid, sigma, -1.0)
+    return jnp.argmax(sigma).astype(jnp.float32)
+
+
+def otsu_threshold_u8(img_u8):
+    """Otsu threshold value (float bin index) of a uint8 image."""
+    return otsu_from_hist(histogram_u8(img_u8))
+
+
+def otsu_binary_u8(img_u8):
+    """cv2.threshold(..., THRESH_BINARY + THRESH_OTSU): (mask_u8{0,255}, thresh)."""
+    t = otsu_threshold_u8(img_u8)
+    mask = (img_u8.astype(jnp.float32) > t).astype(jnp.uint8) * jnp.uint8(255)
+    return mask, t
+
+
+def yen_from_hist(hist, bins):
+    """skimage threshold_yen criterion over the image's [min, max] bin range:
+    argmax of log(P1^2 (1-P1)^2 / (P1_sq * P2_sq)) at the t/t+1 split."""
+    pmf = hist / jnp.sum(hist)
+    p1 = jnp.cumsum(pmf)
+    p1_sq = jnp.cumsum(jnp.square(pmf))
+    p2_sq_rev = jnp.cumsum(jnp.square(pmf[::-1]))[::-1]
+    # crit[t] pairs P1_sq[t] with P2_sq[t+1]
+    denom = p1_sq[:-1] * p2_sq_rev[1:]
+    num = jnp.square(p1[:-1] * (1.0 - p1[:-1]))
+    crit = jnp.log(num / denom)
+    crit = jnp.where(jnp.isfinite(crit), crit, -jnp.inf)
+    return bins[jnp.argmax(crit)]
+
+
+def yen_threshold_u8(img_u8):
+    """skimage.filters.threshold_yen on a uint8 image.
+
+    skimage histograms integer images over [img.min(), img.max()]; we keep a
+    static 256-bin histogram and mask bins outside the observed range (empty
+    leading/trailing bins change cumulative squares, so masking must emulate
+    the dynamic range exactly: out-of-range bins get zero pmf AND the
+    criterion is only evaluated at in-range split points).
+    """
+    hist = histogram_u8(img_u8)
+    bins = jnp.arange(256, dtype=jnp.float32)
+    lo = jnp.argmax(hist > 0)
+    hi = 255 - jnp.argmax(hist[::-1] > 0)
+    pmf = hist / jnp.sum(hist)
+    p1 = jnp.cumsum(pmf)
+    p1_sq = jnp.cumsum(jnp.square(pmf))
+    # reversed cumsum within [lo, hi]: total minus prefix
+    tot_sq_from = jnp.sum(jnp.square(pmf)) - p1_sq
+    denom = p1_sq[:-1] * tot_sq_from[:-1]  # P2_sq[t+1] = sum_{i>t} pmf_i^2
+    num = jnp.square(p1[:-1] * (1.0 - p1[:-1]))
+    crit = jnp.log(num / denom)
+    valid = (bins[:-1] >= lo) & (bins[:-1] < hi)
+    crit = jnp.where(valid & jnp.isfinite(crit), crit, -jnp.inf)
+    return bins[jnp.argmax(crit)]
+
+
+def yen_binary_u8(img_u8):
+    """utils.py:237-248: binary = (yen_thresh <= img)."""
+    t = yen_threshold_u8(img_u8)
+    return img_u8.astype(jnp.float32) >= t
+
+
+def blend_ours(img_u8, attention, alpha=0.4):
+    """utils.py:69-81: min-max the attention, quantize to uint8, alpha-blend
+    with the half-intensity image, truncate to uint8.
+
+    Returns (blend_u8, attn_u8).
+    """
+    attn = min_max_normalize(attention.astype(jnp.float32))
+    attn_u8 = (attn * 255.0).astype(jnp.uint8)
+    # The reference computes (img/2)*(1-alpha) + (a8/2)*alpha in float64 and
+    # truncates to uint8. float64 rounding decides ties at exact-integer
+    # results (e.g. (3i+2a) % 10 == 0 lands at k∓1e-14 either way), so neither
+    # float32 nor exact integer math reproduces it on TPU. The blend is a pure
+    # function of two uint8s -> build the exact 256x256 LUT with numpy float64
+    # at trace time and gather. One 64KB table, fully fused.
+    import numpy as _onp
+
+    iv = _onp.arange(256.0)
+    lut = ((iv[:, None] / 2) * (1 - alpha) + (iv[None, :] / 2) * alpha).astype(_onp.uint8)
+    blend = jnp.asarray(lut)[img_u8.astype(jnp.int32), attn_u8.astype(jnp.int32)]
+    return blend, attn_u8
+
+
+def threshold_ours(img_u8, attention):
+    """The reference `threshold` (utils.py:62-115): returns the three Otsu
+    masks (blend, original image, attention heatmap) as uint8 {0,255}."""
+    blend_u8, attn_u8 = blend_ours(img_u8, attention)
+    th, _ = otsu_binary_u8(blend_u8)
+    th2, _ = otsu_binary_u8(img_u8)
+    th3, _ = otsu_binary_u8(attn_u8)
+    return th, th2, th3
+
+
+def threshold_multiplicative(img_u8, attention):
+    """sw_processing.py:37-81 variant: result = img * minmax(attn), truncated.
+
+    Returns (th_blend, th_original, th_attention) uint8 {0,255} masks.
+    """
+    attn = min_max_normalize(attention.astype(jnp.float32))
+    attn = attn / jnp.maximum(jnp.max(attn), _FLT_EPSILON)
+    result = (img_u8.astype(jnp.float32) * attn).astype(jnp.uint8)
+    attn_u8 = (min_max_normalize(attention.astype(jnp.float32)) * 255.0).astype(jnp.uint8)
+    th, _ = otsu_binary_u8(result)
+    th2, _ = otsu_binary_u8(img_u8)
+    th3, _ = otsu_binary_u8(attn_u8)
+    return th, th2, th3
