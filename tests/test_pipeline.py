@@ -1,0 +1,90 @@
+"""Fused pipelines vs a sequential cv2-based oracle of the reference flow."""
+
+import cv2
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from vit_ocm_wmsegmentation_tpu.models import vit
+from vit_ocm_wmsegmentation_tpu import pipeline as pl
+from vit_ocm_wmsegmentation_tpu.ops import stitch as st
+from vit_ocm_wmsegmentation_tpu.train.checkpoint import vit_params_from_torch
+
+from torch_oracle import make_vit_state_dict
+from test_stitch import _concat_crops_blended_oracle, _sliding_window_oracle
+
+CFG = vit.ViTConfig(patch_size=8, embed_dim=32, depth=3, num_heads=2, pretrain_img_size=32)
+WINDOW, STRIDE, SIZE = 48, 16, 144  # k=3 geometry, tiles are 6x6 patch grids
+
+
+def _params():
+    gen = torch.Generator().manual_seed(42)
+    sd = make_vit_state_dict(gen, patch=8, dim=32, depth=3, heads=2, pretrain_img=32)
+    return vit_params_from_torch(sd, CFG)
+
+
+def _mosaic(seed=0):
+    rng = np.random.default_rng(seed)
+    base = rng.normal(120, 40, (SIZE, SIZE))
+    base[40:100, 30:110] += 70
+    return np.clip(base, 0, 255).astype(np.uint8)
+
+
+def _reference_tile_chain(params, tile_u8):
+    """The sw_processing per-tile chain (:235-258) with cv2 doing the resizes,
+    and our (torch-verified) ViT doing the forward."""
+    x = jnp.asarray(tile_u8.astype(np.float32) / 255.0)
+    x = jnp.broadcast_to(x[None, :, :, None], (1,) + tile_u8.shape + (3,))
+    _, attns, _ = vit.get_intermediate_feat(params, CFG, x, n=1)
+    g = tile_u8.shape[0] // CFG.patch_size
+    attn = np.asarray(attns[0][0, :, 0, 1:]).reshape(2, g, g)  # compute_attention
+    up = np.repeat(np.repeat(attn, 8, axis=1), 8, axis=2)  # nearest x8
+    avg = up.mean(axis=0)
+    avg = (avg - avg.min()) / (avg.max() - avg.min()) * 255.0
+    down = cv2.resize(avg.astype(np.float32), (avg.shape[1] // 8, avg.shape[0] // 8))
+    return cv2.resize(down, (tile_u8.shape[1], tile_u8.shape[0]), interpolation=cv2.INTER_LINEAR)
+
+
+def test_attention_mosaic_matches_sequential_reference():
+    params = _params()
+    img = _mosaic()
+    got = np.asarray(pl.attention_mosaic(params, CFG, jnp.asarray(img), WINDOW, STRIDE))
+    tiles = _sliding_window_oracle(img, STRIDE, WINDOW)
+    maps = [_reference_tile_chain(params, t) for t in tiles]
+    want = _concat_crops_blended_oracle(maps, STRIDE, WINDOW)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+def test_segment_mosaic_shapes_and_mask_values():
+    params = _params()
+    img = _mosaic(1)
+    mask, attn = pl.segment_mosaic(params, CFG, jnp.asarray(img), WINDOW, STRIDE)
+    assert mask.shape == img.shape and attn.shape == img.shape
+    vals = np.unique(np.asarray(mask))
+    assert set(vals.tolist()) <= {0, 255}
+
+
+def test_attention_map_single_matches_eval_chain():
+    """eval.py crop==1: attention -> head-mean -> /8 down, linear up."""
+    params = _params()
+    img = _mosaic(2)[:48, :48]
+    got = np.asarray(pl.attention_map_single(params, CFG, jnp.asarray(img)[None]))[0]
+    x = jnp.asarray(img.astype(np.float32) / 255.0)
+    x = jnp.broadcast_to(x[None, :, :, None], (1, 48, 48, 3))
+    _, attns, _ = vit.get_intermediate_feat(params, CFG, x, n=1)
+    attn = np.asarray(attns[0][0, :, 0, 1:]).reshape(2, 6, 6)
+    up = np.repeat(np.repeat(attn, 8, 1), 8, 2).mean(axis=0).astype(np.float32)
+    down = cv2.resize(up, (6, 6))
+    want = cv2.resize(down, (48, 48), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_segment_single_ours_matches_threshold_chain():
+    params = _params()
+    img = _mosaic(3)[:48, :48]
+    masks, attn = pl.segment_single(params, CFG, jnp.asarray(img)[None], method="ours")
+    from vit_ocm_wmsegmentation_tpu.ops.threshold import threshold_ours
+
+    want, _, _ = threshold_ours(jnp.asarray(img), jnp.asarray(attn[0]))
+    np.testing.assert_array_equal(np.asarray(masks[0]), np.asarray(want))

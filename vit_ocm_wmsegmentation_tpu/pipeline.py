@@ -1,0 +1,131 @@
+"""Fused inference pipelines: image -> attention -> mask, one XLA graph.
+
+These are the TPU rebuilds of the reference's per-image CPU post-processing
+chains. Each function is jittable end-to-end; nothing leaves the device
+between the patch embed and the final uint8 mask.
+
+* :func:`attention_map_single` — eval.py crop==1 path (:135-171): last-block
+  CLS attention, head-average, median filter, /8-x8 bilinear smoothing.
+* :func:`segment_single` — + method dispatch (ours/otsu/heatmap) (:172-202).
+* :func:`attention_mosaic` / :func:`segment_mosaic` — sw_processing.py
+  rebuilt: batched tile gather -> vmapped ViT over the tile batch ->
+  per-tile normalize + bilinear smooth -> ramp-blended overlap-add stitch ->
+  multiplicative Otsu threshold. The reference runs 49 sequential forwards
+  and O(H*W) Python blending loops; here the mosaic stays HBM-resident and
+  the tile axis is the natural data-parallel shard axis (see parallel/).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models import vit
+from .ops import stitch as st
+from .ops import threshold as th
+from .ops.filters import median_filter
+from .ops.resize import resize_linear_cv2, smooth_attention
+
+
+def to_model_input(img_u8):
+    """uint8 (..., H, W) grayscale -> float (..., H, W, 3) in [0,1].
+
+    Matches PIL convert('RGB') (channel replication) + ToTensor (/255).
+    """
+    x = img_u8.astype(jnp.float32) / 255.0
+    return jnp.broadcast_to(x[..., None], x.shape + (3,))
+
+
+def head_average_attention(params, cfg, x, median_size=1):
+    """(B,H,W,3) -> (B, gh, gw): CLS attention grid averaged over heads with
+    the optional median filter (eval.py:142-144). The filter runs on the
+    *grid*; the reference applies it after nearest-x8 upsampling, where a
+    size <= patch_size window can only mix values inside one repeated block
+    or across block edges — for the default size=1 both are identities, and
+    for larger sizes grid-space filtering is the faithful equivalent."""
+    grids = vit.cls_attention_grid(params, cfg, x)  # (B, nh, gh, gw)
+    avg = jnp.mean(grids, axis=1)
+    if median_size > 1:
+        avg = jax.vmap(lambda g: median_filter(g, median_size))(avg)
+    return avg
+
+
+@partial(jax.jit, static_argnames=("cfg", "median_size"))
+def attention_map_single(params, cfg, img_u8, median_size=1):
+    """eval.py crop==1 attention chain for a batch of grayscale uint8 images
+    (B, H, W): returns the smoothed attention map (B, H, W) float32."""
+    b, h, w = img_u8.shape
+    x = to_model_input(img_u8)
+    avg = head_average_attention(params, cfg, x, median_size)
+    return jax.vmap(lambda g: smooth_attention(g, cfg.patch_size, (h, w)))(avg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "method", "median_size"))
+def segment_single(params, cfg, img_u8, method="ours", median_size=1):
+    """Fused eval step for the thresholding methods: (B, H, W) uint8 images ->
+    ((B, H, W) uint8 {0,255} masks, (B, H, W) float attention)."""
+    attn = attention_map_single(params, cfg, img_u8, median_size)
+
+    def one(img, a):
+        t_ours, t_otsu, t_heat = th.threshold_ours(img, a)
+        return {"ours": t_ours, "otsu": t_otsu, "heatmap_threshold": t_heat}[method]
+
+    return jax.vmap(one)(img_u8, attn), attn
+
+
+# ---------------------------------------------------------------------------
+# Mosaic (sliding-window) pipeline
+# ---------------------------------------------------------------------------
+
+
+def mosaic_tiles(img_u8, window, stride):
+    """(H, W) uint8 -> (T, window, window) uint8 tile batch, row-major."""
+    h, w = img_u8.shape
+    ys = st.tile_starts(h, window, stride)
+    xs = st.tile_starts(w, window, stride)
+    return st.extract_tiles(img_u8, ys, xs, window), len(ys), len(xs)
+
+
+def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1):
+    """Tile batch -> per-tile smoothed attention maps, reproducing
+    sw_processing.py:235-258: head-average, min-max normalize, *255,
+    /8 then x8 INTER_LINEAR (== bilinear upsample of the grid)."""
+    x = to_model_input(tiles_u8)
+    avg = head_average_attention(params, cfg, x, median_size)  # (T, g, g)
+
+    def one(g):
+        g = th.min_max_normalize(g) * 255.0
+        return resize_linear_cv2(g, (window, window))
+
+    return jax.vmap(one)(avg)
+
+
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size"))
+def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1):
+    """Full-mosaic attention map: (H, W) uint8 -> (H, W) float32.
+
+    One fused graph: batched gather -> vmapped ViT (CLS-row attention) ->
+    per-tile normalize/smooth -> ramp-blended overlap-add stitch.
+    """
+    h, w = img_u8.shape
+    tiles, n_y, n_x = mosaic_tiles(img_u8, window, stride)
+    maps = _per_tile_attention(params, cfg, tiles, window, median_size)
+    return st.stitch_blended(maps, window, stride, (h, w))
+
+
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size"))
+def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1):
+    """Mosaic white-matter mask: the sw_processing.py end-to-end flow.
+
+    Returns (mask_u8 {0,255}, attention (H,W) float32). The reference
+    thresholds the *re-stitched* uint8 image; blended overlapping crops of
+    one image reconstruct that image up to per-pixel truncation (weights are
+    a partition of unity), so we threshold the original mosaic directly —
+    documented delta, at most +-1 uint8 level inside overlap bands.
+    """
+    attn = attention_mosaic(params, cfg, img_u8, window, stride, median_size)
+    mask, _, _ = th.threshold_multiplicative(img_u8, attn)
+    return mask, attn
