@@ -1,0 +1,73 @@
+"""Shared CLI plumbing for the entry-point scripts.
+
+The repo-root scripts (eval.py, mim.py, analyse_attention.py, ...) preserve
+the reference's public flag names and behavior; this module holds what they
+share: arch resolution, weight loading, and output helpers.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .models.vit import ARCHS, ViTConfig
+from .train.checkpoint import load_pretrained
+
+
+def build_vit_config(arch: str, patch_size: int) -> ViTConfig:
+    if arch not in ARCHS:
+        raise SystemExit(f"unknown arch {arch!r}; choices: {sorted(ARCHS)}")
+    return ARCHS[arch](patch_size=patch_size)
+
+
+def load_model(arch: str, patch_size: int, pretrained_weights: str = "",
+               checkpoint_key: str = "teacher", seed: int = 0):
+    """(params, cfg, source). Resolution order mirrors eval.py:67-94."""
+    cfg = build_vit_config(arch, patch_size)
+    params, source = load_pretrained(cfg, arch, pretrained_weights, checkpoint_key, seed)
+    if source == "random":
+        print("There is no reference weights available for this model => We use random weights.")
+    else:
+        print(f"Pretrained weights loaded from {source}")
+    return params, cfg, source
+
+
+def create_dir(path: str):
+    os.makedirs(path, exist_ok=True)
+
+
+def imsave(fname: str, arr, cmap=None):
+    """matplotlib-compatible image save (the reference saves everything with
+    plt.imsave; we keep the same colormap behavior: 2D arrays get viridis by
+    default, cmap='gray' for masks)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+
+    arr = np.asarray(arr)
+    plt.imsave(fname=fname, arr=arr, format="png", cmap=cmap)
+    print(f"{fname} saved.")
+
+
+def save_threshold_outputs(output_directory: str, img_u8, attention, name: str | None = None):
+    """Replicates threshold()'s save side effects (utils.py:83-115) and
+    returns the three masks."""
+    import jax.numpy as jnp
+
+    from .ops.threshold import blend_ours, threshold_ours
+
+    blend_u8, attn_u8 = blend_ours(jnp.asarray(img_u8), jnp.asarray(attention))
+    th, th2, th3 = threshold_ours(jnp.asarray(img_u8), jnp.asarray(attention))
+    imsave(os.path.join(output_directory, "result.png"), np.asarray(blend_u8))
+    subdir = ""
+    if name is not None:
+        subdir = name + "/"
+        create_dir(os.path.join(output_directory, subdir))
+    imsave(os.path.join(output_directory, subdir, "OTSU_th_average.png"), np.asarray(th), cmap="gray")
+    imsave(os.path.join(output_directory, "OTSU_th_original.png"), np.asarray(th2), cmap="gray")
+    imsave(os.path.join(output_directory, "weighted_iamge_attention.png"), np.asarray(blend_u8), cmap="gray")
+    imsave(os.path.join(output_directory, "heatmap_otsu_attention.png"), np.asarray(th3), cmap="gray")
+    imsave(os.path.join(output_directory, "temp.png"), np.asarray(attn_u8))
+    return np.asarray(th), np.asarray(th2), np.asarray(th3)

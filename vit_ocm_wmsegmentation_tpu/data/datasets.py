@@ -1,0 +1,184 @@
+"""Datasets and loaders (rebuild of data.py).
+
+Reference conventions preserved:
+
+* eval images resize with PIL NEAREST to (image_size, image_size)
+  (data.py:291-299) and labels likewise; labels are L-mode scaled to [0,1];
+* images open as RGB; the thresholding side consumes the L-mode uint8 view
+  (eval.py:173);
+* the center %8 crop of AIP_Dataset (data.py:29-31);
+* SimMIM training transform: RandomResizedCrop(scale=(0.67,1),
+  ratio=(3/4,4/3)) + random H/V flips + ToTensor, plus MaskGenerator and
+  optional ROI-restricted masking (data.py:189-253).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+from glob import glob
+from typing import Iterator
+
+import numpy as np
+from PIL import Image
+
+from .mask_generator import MaskGenerator
+
+
+def list_images(path: str, pattern: str = "/*") -> list[str]:
+    """glob helper matching build_loader_simmim (data.py:271-275)."""
+    if os.path.isfile(path):
+        return sorted(glob(path))
+    return sorted(glob(path + pattern))
+
+
+def load_rgb_resized(path: str, size_hw, resample=Image.Resampling.NEAREST) -> np.ndarray:
+    """-> float32 (H, W, 3) in [0,1] (PIL resize + ToTensor semantics)."""
+    img = Image.open(path).convert("RGB").resize((size_hw[1], size_hw[0]), resample)
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def load_gray_resized(path: str, size_hw, resample=Image.Resampling.NEAREST) -> np.ndarray:
+    """-> uint8 (H, W): RGB-resize first, then L conversion, matching the
+    reference order (resize on RGB, convert('L') later in threshold())."""
+    img = Image.open(path).convert("RGB").resize((size_hw[1], size_hw[0]), resample)
+    return np.asarray(img.convert("L"), dtype=np.uint8)
+
+
+@dataclasses.dataclass
+class EvalSample:
+    image: np.ndarray  # float32 (H, W, 3) in [0,1]
+    gray: np.ndarray  # uint8 (H, W)
+    label: np.ndarray  # float32 (H, W) in [0,1]
+    path: str
+
+
+def build_eval_samples(eval_dataset_path: str, image_size: int) -> list[EvalSample]:
+    """build_eval_loader semantics (data.py:282-306): images/ and labels/
+    subfolders, NEAREST resize to the square image_size."""
+    images = sorted(glob(eval_dataset_path + "/images/*"))
+    labels = sorted(glob(eval_dataset_path + "/labels/*"))
+    assert len(images) == len(labels), f"{len(images)} images vs {len(labels)} labels"
+    out = []
+    for ip, lp in zip(images, labels):
+        rgb = load_rgb_resized(ip, (image_size, image_size))
+        gray = load_gray_resized(ip, (image_size, image_size))
+        lab = Image.open(lp).convert("L").resize((image_size, image_size), Image.Resampling.NEAREST)
+        out.append(EvalSample(rgb, gray, np.asarray(lab, np.float32) / 255.0, ip))
+    return out
+
+
+def center_crop_mod8(img: np.ndarray) -> np.ndarray:
+    """AIP_Dataset crop (data.py:29-31): truncate H and W to multiples of 8."""
+    h, w = img.shape[:2]
+    return img[: h - h % 8, : w - w % 8]
+
+
+# ---------------------------------------------------------------------------
+# SimMIM training transform
+# ---------------------------------------------------------------------------
+
+
+def random_resized_crop(img: Image.Image, rng: np.random.Generator, out_size: int,
+                        scale=(0.67, 1.0), ratio=(3.0 / 4.0, 4.0 / 3.0)) -> Image.Image:
+    """torchvision RandomResizedCrop's sampling algorithm (10 attempts, then
+    center fallback), BILINEAR resize."""
+    w, h = img.size
+    area = w * h
+    log_ratio = (math.log(ratio[0]), math.log(ratio[1]))
+    for _ in range(10):
+        target_area = area * rng.uniform(scale[0], scale[1])
+        aspect = math.exp(rng.uniform(log_ratio[0], log_ratio[1]))
+        cw = int(round(math.sqrt(target_area * aspect)))
+        ch = int(round(math.sqrt(target_area / aspect)))
+        if 0 < cw <= w and 0 < ch <= h:
+            i = int(rng.integers(0, h - ch + 1))
+            j = int(rng.integers(0, w - cw + 1))
+            box = (j, i, j + cw, i + ch)
+            return img.resize((out_size, out_size), Image.Resampling.BILINEAR, box=box)
+    # fallback: center crop at the clamped aspect
+    in_ratio = w / h
+    if in_ratio < ratio[0]:
+        cw, ch = w, int(round(w / ratio[0]))
+    elif in_ratio > ratio[1]:
+        cw, ch = int(round(h * ratio[1])), h
+    else:
+        cw, ch = w, h
+    i, j = (h - ch) // 2, (w - cw) // 2
+    return img.resize((out_size, out_size), Image.Resampling.BILINEAR, box=(j, i, j + cw, i + ch))
+
+
+class SimMIMTransform:
+    """Aug + mask pair generator (data.py:189-253, minus its debug dumps)."""
+
+    def __init__(self, img_size: int, mask_patch_size: int, model_patch_size: int,
+                 mask_ratio: float, roi_masking: bool = False):
+        self.img_size = img_size
+        self.roi_masking = roi_masking
+        self.mask_generator = MaskGenerator(img_size, mask_patch_size, model_patch_size, mask_ratio)
+
+    def __call__(self, img: Image.Image, rng: np.random.Generator):
+        img = img.convert("RGB")
+        img = random_resized_crop(img, rng, self.img_size)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.Transpose.FLIP_LEFT_RIGHT)
+        if rng.random() < 0.5:
+            img = img.transpose(Image.Transpose.FLIP_TOP_BOTTOM)
+        arr = np.asarray(img, dtype=np.float32) / 255.0  # (H, W, 3)
+        mask = self.mask_generator(rng)
+        if self.roi_masking:
+            from ..ops.morphology import get_rois
+
+            gray = np.asarray(img.convert("L"))
+            binary = np.where(gray > 10, 255, 0).astype(np.uint8)
+            rois = get_rois(binary)
+            # nearest-resize the label image to the mask grid (order-0)
+            ys = (np.arange(mask.shape[0]) * rois.shape[0] / mask.shape[0]).astype(int)
+            xs = (np.arange(mask.shape[1]) * rois.shape[1] / mask.shape[1]).astype(int)
+            rois_small = (rois[np.ix_(ys, xs)] != 0).astype(mask.dtype)
+            new_mask = mask * rois_small
+            if new_mask.sum() != 0:
+                mask = new_mask
+        return arr, mask
+
+
+def build_simmim_loader(image_path: str, batch_size: int, img_size: int, mask_patch_size: int,
+                        model_patch_size: int, mask_ratio: float, roi_masking: bool = False,
+                        seed: int = 0, drop_last: bool = True) -> "Loader":
+    paths = list_images(image_path)
+    transform = SimMIMTransform(img_size, mask_patch_size, model_patch_size, mask_ratio, roi_masking)
+    return Loader(paths, transform, batch_size, seed=seed, drop_last=drop_last)
+
+
+class Loader:
+    """Minimal epoch-based loader: per-item PIL decode + transform, stacked
+    into device-ready numpy batches. Deterministic per (seed, epoch)."""
+
+    def __init__(self, paths, transform, batch_size, seed=0, drop_last=True):
+        self.paths = list(paths)
+        self.transform = transform
+        self.batch_size = batch_size
+        self.seed = seed
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.paths) // self.batch_size
+        if not self.drop_last and len(self.paths) % self.batch_size:
+            n += 1
+        return max(n, 0)
+
+    def epoch(self, epoch: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(len(self.paths))
+        for start in range(0, len(order), self.batch_size):
+            idx = order[start : start + self.batch_size]
+            if len(idx) < self.batch_size and self.drop_last:
+                return
+            imgs, masks = [], []
+            for i in idx:
+                img = Image.open(self.paths[i])
+                arr, mask = self.transform(img, rng)
+                imgs.append(arr)
+                masks.append(mask)
+            yield np.stack(imgs), np.stack(masks)

@@ -41,26 +41,52 @@ def to_model_input(img_u8):
 
 def head_average_attention(params, cfg, x, median_size=1):
     """(B,H,W,3) -> (B, gh, gw): CLS attention grid averaged over heads with
-    the optional median filter (eval.py:142-144). The filter runs on the
-    *grid*; the reference applies it after nearest-x8 upsampling, where a
-    size <= patch_size window can only mix values inside one repeated block
-    or across block edges — for the default size=1 both are identities, and
-    for larger sizes grid-space filtering is the faithful equivalent."""
+    the optional median filter (eval.py:142-144).
+
+    The reference median-filters the nearest-x{patch} upsampled map and the
+    subsequent /patch downsample 2-tap-samples at block centers
+    (eval.py:169). For the default size=1 this chain is the identity on the
+    grid; for size>1 we replicate it exactly: filter the upsampled map, then
+    resample back to the grid with the cv2 2-tap kernel.
+    """
     grids = vit.cls_attention_grid(params, cfg, x)  # (B, nh, gh, gw)
     avg = jnp.mean(grids, axis=1)
     if median_size > 1:
-        avg = jax.vmap(lambda g: median_filter(g, median_size))(avg)
+        from .ops.resize import upsample_nearest
+
+        p = cfg.patch_size
+        gh, gw = avg.shape[-2], avg.shape[-1]
+        up = upsample_nearest(avg, p)
+        up = jax.vmap(lambda g: median_filter(g, median_size))(up)
+        avg = resize_linear_cv2(up, (gh, gw))
     return avg
+
+
+@partial(jax.jit, static_argnames=("cfg", "median_size"))
+def attention_map_rgb(params, cfg, x, median_size=1):
+    """eval.py crop==1 attention chain for float RGB input (B, H, W, 3) in
+    [0,1]: returns the smoothed attention map (B, H, W) float32."""
+    b, h, w, _ = x.shape
+    avg = head_average_attention(params, cfg, x, median_size)
+    return jax.vmap(lambda g: smooth_attention(g, cfg.patch_size, (h, w)))(avg)
 
 
 @partial(jax.jit, static_argnames=("cfg", "median_size"))
 def attention_map_single(params, cfg, img_u8, median_size=1):
     """eval.py crop==1 attention chain for a batch of grayscale uint8 images
     (B, H, W): returns the smoothed attention map (B, H, W) float32."""
-    b, h, w = img_u8.shape
-    x = to_model_input(img_u8)
-    avg = head_average_attention(params, cfg, x, median_size)
-    return jax.vmap(lambda g: smooth_attention(g, cfg.patch_size, (h, w)))(avg)
+    return attention_map_rgb(params, cfg, to_model_input(img_u8), median_size)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def attention_heads(params, cfg, x):
+    """Per-head CLS attention maps at image resolution: (B, nh, H, W), the
+    nearest-x8 maps analyse_attention saves as attn-head{j}.png
+    (compute_attention, utils.py:229-235)."""
+    grids = vit.cls_attention_grid(params, cfg, x)
+    from .ops.resize import upsample_nearest
+
+    return upsample_nearest(grids, cfg.patch_size)
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "median_size"))
