@@ -1,0 +1,85 @@
+"""SimMIM-style masked image modeling (rebuild of model.py:11-108).
+
+Encoder: the ViT backbone with a learnable mask token substituted at masked
+patch positions (before CLS concat / pos-embed); note the reference builds
+the MIM ViT with its positional table sized for the *training* image size
+(model.py:99), so no interpolation happens in the MIM forward — our config
+does the same via ``pretrain_img_size=img_size``.
+
+Decoder: one 1x1 conv to (patch^2 * 3) channels + PixelShuffle(patch), i.e. a
+per-patch linear head — lowered as a single matmul on the token grid.
+
+Loss: masked L1, normalized by mask area and channel count (model.py:71-77).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import nn
+from . import vit as vit_mod
+from .vit import ViTConfig
+
+
+def mim_vit_config(img_size: int, patch_size: int = 8) -> ViTConfig:
+    """build_model (model.py:91-108): ViT-S geometry at depth 4, heads 3."""
+    return ViTConfig(
+        patch_size=patch_size,
+        embed_dim=384,
+        depth=4,
+        num_heads=3,
+        pretrain_img_size=img_size,
+    )
+
+
+def init(cfg: ViTConfig, key, dtype=jnp.float32):
+    """Encoder params + mask token + decoder head."""
+    k_vit, k_mask, k_dec = jax.random.split(key, 3)
+    params = vit_mod.init(cfg, k_vit, dtype)
+    params["mask_token"] = nn.trunc_normal(k_mask, (1, 1, cfg.embed_dim), std=0.02, dtype=dtype)
+    kernel, bias = nn.torch_linear_init(k_dec, cfg.embed_dim, cfg.patch_size**2 * 3, dtype)
+    params["decoder"] = {"kernel": kernel, "bias": bias}
+    return params
+
+
+def encode(params, cfg: ViTConfig, x, mask):
+    """VisionTransformerForSimMIM.forward (model.py:25-53).
+
+    x: (B, H, W, 3) float; mask: (B, gh, gw) {0,1} token mask.
+    Returns the patch-token feature grid (B, gh, gw, D).
+    """
+    b, h, w, _ = x.shape
+    patches = nn.patchify(x, cfg.patch_size)
+    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=x.dtype)
+    tok = tok + params["patch_embed"]["bias"]
+
+    wmask = mask.reshape(b, -1, 1).astype(tok.dtype)
+    tok = tok * (1.0 - wmask) + params["mask_token"].astype(tok.dtype) * wmask
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, cfg.embed_dim))
+    tok = jnp.concatenate([cls, tok], axis=1)
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    tok = tok + vit_mod.interpolate_pos_embed(params, cfg, (gh, gw)).astype(tok.dtype)
+
+    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth)
+    tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
+    return tok[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
+
+
+def reconstruct(params, cfg: ViTConfig, x, mask):
+    """Full MIM forward: encoder + PixelShuffle decoder -> (B, H, W, 3)."""
+    z = encode(params, cfg, x, mask)
+    rec = jnp.dot(z, params["decoder"]["kernel"], preferred_element_type=z.dtype)
+    rec = rec + params["decoder"]["bias"]
+    return nn.pixel_shuffle(rec, cfg.patch_size)
+
+
+def mim_loss(params, cfg: ViTConfig, x, mask):
+    """(loss, x_rec, pixel_mask): masked-L1 / mask area / 3 (model.py:71-77)."""
+    x_rec = reconstruct(params, cfg, x, mask)
+    p = cfg.patch_size
+    pix_mask = jnp.repeat(jnp.repeat(mask, p, axis=1), p, axis=2).astype(x.dtype)[..., None]
+    l1 = jnp.abs(x - x_rec)
+    loss = jnp.sum(l1 * pix_mask) / (jnp.sum(pix_mask) + 1e-5) / 3.0
+    return loss, x_rec, pix_mask

@@ -131,6 +131,94 @@ def load_pretrained(cfg: ViTConfig, arch: str, pretrained_weights: str = "",
     return vit_mod.init(cfg, jax.random.PRNGKey(rng_seed)), "random"
 
 
+def _conv_from_torch(sd, prefix):
+    """torch Conv2d (out,in,kh,kw) -> HWIO kernel dict."""
+    w = _np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0)
+    out = {"kernel": jnp.asarray(w)}
+    if prefix + ".bias" in sd:
+        out["bias"] = jnp.asarray(_np(sd[prefix + ".bias"]))
+    return out
+
+
+def _conv_transpose_from_torch(sd, prefix):
+    """torch ConvTranspose2d (in,out,kh,kw) -> spatially-flipped HWIO kernel
+    for lax.conv_transpose(transpose_kernel=False)."""
+    w = _np(sd[prefix + ".weight"])[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+    return {"kernel": jnp.asarray(w.copy()), "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
+
+
+def _bn_from_torch(sd, prefix):
+    params = {"scale": jnp.asarray(_np(sd[prefix + ".weight"])), "bias": jnp.asarray(_np(sd[prefix + ".bias"]))}
+    state = {
+        "mean": jnp.asarray(_np(sd[prefix + ".running_mean"])),
+        "var": jnp.asarray(_np(sd[prefix + ".running_var"])),
+        "count": jnp.asarray(int(sd.get(prefix + ".num_batches_tracked", 0)), jnp.int32),
+    }
+    return params, state
+
+
+def mim_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str = "teacher"):
+    """MIM module (model.py:55-89): encoder.* ViT (+ mask_token) and the 1x1
+    conv decoder (decoder.0.*) mapped to our matmul head (p*p*3 outputs)."""
+    sd = clean_torch_state_dict(state_dict, checkpoint_key)
+    enc = {k[len("encoder.") :]: v for k, v in sd.items() if k.startswith("encoder.")}
+    params = vit_params_from_torch(enc, cfg, checkpoint_key=None)
+    w = _np(sd["decoder.0.weight"])  # (p*p*3, D, 1, 1)
+    params["decoder"] = {
+        "kernel": jnp.asarray(w[:, :, 0, 0].T),
+        "bias": jnp.asarray(_np(sd["decoder.0.bias"])),
+    }
+    return params
+
+
+def probing_params_from_torch(state_dict: dict, cfg: ViTConfig, layer_num: int = 1,
+                              checkpoint_key: str = "teacher"):
+    """LinearProbing (model.py:142-174): encoder ViT + 1- or 2-layer decoder."""
+    sd = clean_torch_state_dict(state_dict, checkpoint_key)
+    enc = {k[len("encoder.") :]: v for k, v in sd.items() if k.startswith("encoder.")}
+    params = {"encoder": vit_params_from_torch(enc, cfg, checkpoint_key=None)}
+    if layer_num == 1:
+        w = _np(sd["one_layer_decoder.0.weight"])  # (p*p, D, 1, 1)
+        params["decoder"] = {"conv": {"kernel": jnp.asarray(w[:, :, 0, 0].T),
+                                      "bias": jnp.asarray(_np(sd["one_layer_decoder.0.bias"]))}}
+        params["state"] = {}
+    else:
+        bn_p, bn_s = _bn_from_torch(sd, "two_layer_decoder.1")
+        params["decoder"] = {
+            "conv1": _conv_from_torch(sd, "two_layer_decoder.0"),
+            "bn": bn_p,
+            "conv2": _conv_from_torch(sd, "two_layer_decoder.3"),
+        }
+        params["state"] = {"bn": bn_s}
+    return params
+
+
+def unet_params_from_torch(state_dict: dict, checkpoint_key: str = "teacher"):
+    """build_unet (model.py:280-320) -> (params, state) for models/unet.py."""
+    sd = clean_torch_state_dict(state_dict, checkpoint_key)
+
+    def block(prefix):
+        p1, s1 = _bn_from_torch(sd, prefix + ".bn1")
+        p2, s2 = _bn_from_torch(sd, prefix + ".bn2")
+        params = {
+            "conv1": _conv_from_torch(sd, prefix + ".conv1"),
+            "bn1": p1,
+            "conv2": _conv_from_torch(sd, prefix + ".conv2"),
+            "bn2": p2,
+        }
+        return params, {"bn1": s1, "bn2": s2}
+
+    params, state = {}, {}
+    for i in range(4):
+        params[f"e{i+1}"], state[f"e{i+1}"] = block(f"e{i+1}.conv")
+    params["b"], state["b"] = block("b")
+    for i in range(4):
+        params[f"up{i+1}"] = _conv_transpose_from_torch(sd, f"d{i+1}.up")
+        params[f"d{i+1}"], state[f"d{i+1}"] = block(f"d{i+1}.conv")
+    params["out"] = _conv_from_torch(sd, "outputs")
+    return params, state
+
+
 # ---------------------------------------------------------------------------
 # Native orbax checkpoints
 # ---------------------------------------------------------------------------
