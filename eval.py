@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Labeled evaluation of attention-based white-matter segmentation.
+
+TPU-native rebuild of the reference eval.py (the paper's headline metric
+path): same flags, same method choices, same per-image metric logging — with
+the entire per-image pipeline fused on device.
+"""
+
+import argparse
+
+from vit_ocm_wmsegmentation_tpu import evaluation
+from vit_ocm_wmsegmentation_tpu.cli import create_dir, load_model
+from vit_ocm_wmsegmentation_tpu.data import build_eval_samples
+from vit_ocm_wmsegmentation_tpu.utils.logger import create_logger
+from vit_ocm_wmsegmentation_tpu.utils.seeding import seeding
+from vit_ocm_wmsegmentation_tpu.utils.wandb_shim import get_wandb
+
+
+def parse_args():
+    parser = argparse.ArgumentParser("Visualize Self-Attention maps")
+    parser.add_argument("--arch", default="vit_small", type=str,
+                        choices=["vit_tiny", "vit_small", "vit_base"])
+    parser.add_argument("--patch_size", default=8, type=int)
+    parser.add_argument("--pretrained_weights", default="", type=str)
+    parser.add_argument("--checkpoint_key", default="teacher", type=str)
+    parser.add_argument("--eval_dataset_path", default="", type=str)
+    parser.add_argument("--image_size", default=384, type=int, nargs="+")
+    parser.add_argument("--output_dir", default="results/eval/")
+    parser.add_argument("--threshold", type=float, default=0.1)
+    parser.add_argument("--crop", type=int, default=1)
+    parser.add_argument("--batch_size", type=int, default=1)
+    parser.add_argument("--wandb", default=False)
+    parser.add_argument("--tag", default="k-means")
+    parser.add_argument("--method", default="ours",
+                        help="ours, otsu, k-means, k-means_ours, chan-vese, "
+                             "chan-vese_ours, heatmap_threshold, k-means_feature_clustering")
+    parser.add_argument("--median_filter", default=1, type=int)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    create_dir(args.output_dir)
+    logger = create_logger(args.output_dir, name=f"{args.arch}_{args.patch_size}")
+    seeding(0)
+    wandb, use_wandb = get_wandb(bool(args.wandb))
+    if use_wandb:
+        wandb.init(project="temp2", name=f"{args.method}_{args.crop}", config=vars(args))
+
+    image_size = args.image_size[0] if isinstance(args.image_size, list) else args.image_size
+    if not args.eval_dataset_path:
+        raise SystemExit("Please use the `--eval_dataset_path` argument to indicate the dataset path.")
+    samples = build_eval_samples(args.eval_dataset_path, image_size)
+    print(f"images: {len(samples)}")
+
+    params, cfg, _ = load_model(args.arch, args.patch_size, args.pretrained_weights, args.checkpoint_key)
+    logger.info(f"Creating model:{args.arch}/{args.patch_size}")
+    acc, f1, loss = evaluation.validate(
+        params, cfg, samples, method=args.method, crop=args.crop,
+        median_size=int(args.median_filter), logger=logger,
+        wandb=wandb if use_wandb else None,
+    )
+    if use_wandb:
+        wandb.finish()
+    return acc, f1, loss
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Labeled evaluation harness (rebuild of eval.py:106-283).
+
+Runs the attention pipeline and one of the reference's 8 segmentation
+methods per image, then Dice / accuracy / F1 / precision / recall / Jaccard
+against the labels. All compute (ViT, smoothing, thresholding, clustering,
+Chan-Vese, metrics) is device-side; the host only iterates images and
+aggregates meters.
+
+Methods (eval.py:172-202): ours, otsu, heatmap_threshold, k-means,
+k-means_ours, chan-vese, chan-vese_ours, k-means_feature_clustering.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import vit
+from .ops import cluster
+from .ops import threshold as th
+from .ops.chan_vese import chan_vese
+from .ops.metrics import AverageMeter, calculate_metrics, dice_loss
+from .ops.resize import resize_linear_cv2, smooth_attention
+from .ops.stitch import concat_crops
+from .pipeline import attention_map_rgb, head_average_attention
+
+METHODS = (
+    "ours",
+    "otsu",
+    "heatmap_threshold",
+    "k-means",
+    "k-means_ours",
+    "chan-vese",
+    "chan-vese_ours",
+    "k-means_feature_clustering",
+)
+
+
+def _mult_blend_u8(img_u8, attention):
+    """img * attn / attn.max(), truncated — the kmeans/chan_vese input
+    (utils.py:121,203; note: no min-max, unlike threshold())."""
+    a = attention.astype(jnp.float32)
+    a = a / jnp.maximum(jnp.max(a), 1e-38)
+    return (img_u8.astype(jnp.float32) * a).astype(jnp.uint8)
+
+
+@partial(jax.jit, static_argnames=("method",))
+def apply_method(img_u8, attention, method: str):
+    """Attention map + gray image -> {0,255} uint8 mask for one image."""
+    if method in ("ours", "otsu", "heatmap_threshold"):
+        t, t2, t3 = th.threshold_ours(img_u8, attention)
+        return {"ours": t, "otsu": t2, "heatmap_threshold": t3}[method]
+    if method == "k-means_ours":
+        return cluster.kmeans_mask_ours(img_u8, attention)
+    if method == "k-means":
+        return cluster.kmeans_mask_image(img_u8)
+    if method == "chan-vese_ours":
+        seg = chan_vese(_mult_blend_u8(img_u8, attention))
+        return seg.astype(jnp.uint8) * jnp.uint8(255)
+    if method == "chan-vese":
+        seg = chan_vese(img_u8)
+        return seg.astype(jnp.uint8) * jnp.uint8(255)
+    raise ValueError(f"unknown method {method!r}")
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def feature_clustering_mask(params, cfg, x):
+    """k-means_feature_clustering (eval.py:186-202): bilinear-upsampled
+    last-block keys, z-scored, 2-means -> {0,255} label map."""
+    b, h, w, _ = x.shape
+    k = vit.last_block_key_features(params, cfg, x)[0]  # (gh, gw, D)
+    up = resize_linear_cv2(jnp.moveaxis(k, -1, 0), (h, w))  # (D, H, W)
+    return cluster.kmeans_feature_mask(jnp.moveaxis(up, 0, -1))
+
+
+@jax.jit
+def score_pair(output_u8, target):
+    """(dice_loss, [jaccard, f1, recall, precision, acc]) with the
+    reference's quirks: output/255 then sigmoid inside DiceLoss."""
+    out = output_u8.astype(jnp.float32) / 255.0
+    loss = dice_loss(out, target)
+    mets = calculate_metrics(target, out)
+    return loss, mets
+
+
+def _image_attention(params, cfg, sample, crop: int, median_size: int):
+    """Smoothed attention for one sample, crop==1 or grid-crop variant
+    (eval.py:135-171). Returns (attention (H,W), gray_u8 (H,W))."""
+    h, w = sample.gray.shape
+    if crop == 1:
+        attn = attention_map_rgb(params, cfg, jnp.asarray(sample.image)[None], median_size)[0]
+        return attn, jnp.asarray(sample.gray)
+    g = int(np.sqrt(crop))
+    ch, cw = h // g, w // g
+    tiles = jnp.asarray(sample.image).reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
+    grids = head_average_attention(params, cfg, tiles, median_size)  # (T, gh, gw)
+    p = cfg.patch_size
+    maps = jax.vmap(lambda gr: jnp.repeat(jnp.repeat(gr, p, 0), p, 1))(grids)
+    recon = concat_crops(maps)
+    attn = smooth_attention(recon[::p, ::p], p, (h, w))
+    return attn, jnp.asarray(sample.gray)
+
+
+def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
+             logger=None, wandb=None, epoch=0, print_freq=1):
+    """Returns (acc_avg, f1_avg, loss_avg), logging per image like the
+    reference validate()."""
+    meters = {k: AverageMeter() for k in ("loss", "acc", "f1", "precision", "recall", "jaccard", "time")}
+    end = time.time()
+    for idx, sample in enumerate(samples):
+        attn, gray = _image_attention(params, cfg, sample, crop, median_size)
+        if method == "k-means_feature_clustering":
+            output = feature_clustering_mask(params, cfg, jnp.asarray(sample.image)[None])
+        else:
+            output = apply_method(gray, attn, method)
+        target = jnp.asarray(sample.label)
+        loss, mets = score_pair(output, target)
+        if method == "k-means_feature_clustering":
+            # cluster ids are arbitrary (reference: whichever sklearn picked);
+            # score the better polarity
+            loss2, mets2 = score_pair(jnp.uint8(255) - output, target)
+            if float(loss2) < float(loss):
+                loss, mets = loss2, mets2
+        jac, f1, rec, prec, acc = (float(m) for m in mets)
+        meters["loss"].update(float(loss), 1)
+        meters["acc"].update(acc, 1)
+        meters["f1"].update(f1, 1)
+        meters["precision"].update(prec, 1)
+        meters["recall"].update(rec, 1)
+        meters["jaccard"].update(jac, 1)
+        meters["time"].update(time.time() - end)
+        end = time.time()
+        if logger and idx % print_freq == 0:
+            m = meters
+            logger.info(
+                f"Test: [{idx}/{len(samples)}]\t"
+                f"Time {m['time'].val:.3f} ({m['time'].avg:.3f})\t"
+                f"Loss {m['loss'].val:.4f} ({m['loss'].avg:.4f})\t"
+                f"Dice Score {1 - m['loss'].val:.4f} ({1 - m['loss'].avg:.4f})\t"
+                f"Acc {m['acc'].val:.3f} ({m['acc'].avg:.3f})\t"
+                f"f1 {m['f1'].val:.3f} ({m['f1'].avg:.3f})\t"
+                f"prec {m['precision'].val:.3f} ({m['precision'].avg:.3f})\t"
+                f"recall {m['recall'].val:.3f} ({m['recall'].avg:.3f})\t"
+                f"jaccard {m['jaccard'].val:.3f} ({m['jaccard'].avg:.3f})"
+            )
+    if logger:
+        m = meters
+        logger.info(
+            f" * Acc_average: {m['acc'].avg:.3f} F1_average {m['f1'].avg:.3f} "
+            f"precision {m['precision'].avg:.3f} recall {m['recall'].avg:.3f} "
+            f"jaccard {m['jaccard'].avg:.3f} Dice Score {1 - m['loss'].avg:.4f}"
+        )
+    if wandb is not None:
+        wandb.log(
+            {"Loss": meters["loss"].val, "Dice": 1 - meters["loss"].avg, "Acc": meters["acc"].avg,
+             "f1": meters["f1"].avg, "precision": meters["precision"].avg,
+             "recall": meters["recall"].avg, "jaccard": meters["jaccard"].avg},
+            step=epoch,
+        )
+    return meters["acc"].avg, meters["f1"].avg, meters["loss"].avg

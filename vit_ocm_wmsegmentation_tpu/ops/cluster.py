@@ -78,11 +78,14 @@ def kmeans_mask_ours(img_u8, attention):
     k=2, paint clusters with their (uint8) center values, Otsu the result.
 
     Returns a {0,255} uint8 mask. The reference's reshape(-1, 3) groups three
-    consecutive *pixels* as one point — reproduced as-is for parity.
+    consecutive *pixels* as one point — reproduced as-is for parity. Unlike
+    threshold(), kmeans() does NOT min-max the attention: it scales the raw
+    map by its max (utils.py:121).
     """
-    from .threshold import min_max_normalize, otsu_binary_u8
+    from .threshold import otsu_binary_u8
 
-    attn = min_max_normalize(attention.astype(jnp.float32))
+    attn = attention.astype(jnp.float32)
+    attn = attn / jnp.maximum(jnp.max(attn), 1e-38)
     result = (img_u8.astype(jnp.float32) * attn).astype(jnp.uint8)
     pts = result.reshape(-1, 3).astype(jnp.float32)
     labels, centers = kmeans2(pts)

@@ -1,0 +1,16 @@
+"""Device-mesh parallelism: sharding rules and multi-host init.
+
+The reference's multi-device story is single-process nn.DataParallel over 3
+GPUs plus dead NCCL helpers (SURVEY.md §2c). Here parallelism is expressed
+once, declaratively: a `jax.sharding.Mesh` with ('data', 'model') axes,
+NamedSharding rules for parameters and batches, and XLA/GSPMD inserting the
+collectives (psum over ICI) — no hand-written communication.
+"""
+
+from .mesh import (
+    batch_sharding,
+    data_parallel_sharding,
+    make_mesh,
+    replicated,
+    vit_param_sharding,
+)

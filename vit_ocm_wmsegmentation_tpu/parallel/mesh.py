@@ -1,0 +1,95 @@
+"""Mesh construction and sharding rules.
+
+Axes:
+* ``data`` — batch / tile axis (the reference's DataParallel axis, and the
+  tile axis of the mosaic pipeline);
+* ``model`` — Megatron-style tensor parallelism over attention heads and the
+  MLP hidden dimension. The ViT-S is small enough that tp is optional, but
+  the rules are real and exercised by the multi-chip dry run.
+
+Everything uses NamedSharding + jit (GSPMD): annotate inputs/params, let XLA
+place the collectives on ICI.
+"""
+
+from __future__ import annotations
+
+import re
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(data: int = -1, model: int = 1, devices=None) -> Mesh:
+    """('data', 'model') mesh; data=-1 uses all remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if data == -1:
+        assert n % model == 0
+        data = n // model
+    assert data * model <= n
+    grid = devices[: data * model].reshape(data, model)
+    return Mesh(grid, ("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch / tile) axis over 'data'; trailing axes
+    replicated (a 1-element spec is valid for any rank >= 1)."""
+    return NamedSharding(mesh, P("data"))
+
+
+# Megatron tp rules for the stacked-block ViT pytree (leading depth axis):
+# qkv and MLP-in shard their output (head/hidden) dim; proj and MLP-out shard
+# their input dim so XLA reduces the partial sums with one psum per block.
+_TP_RULES = [
+    (r"blocks/attn/wqkv", P(None, None, "model")),
+    (r"blocks/attn/bqkv", P(None, "model")),
+    (r"blocks/attn/wo", P(None, "model", None)),
+    (r"blocks/mlp/w1", P(None, None, "model")),
+    (r"blocks/mlp/b1", P(None, "model")),
+    (r"blocks/mlp/w2", P(None, "model", None)),
+]
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        parts.append(str(getattr(p, "key", getattr(p, "idx", p))))
+    return "/".join(parts)
+
+
+def vit_param_sharding(mesh: Mesh, params) -> dict:
+    """NamedSharding pytree for ViT(-derived) params: tp rules where they
+    match, replicated elsewhere."""
+
+    def rule(path, leaf):
+        s = _path_str(path)
+        for pat, spec in _TP_RULES:
+            if re.search(pat, s):
+                return NamedSharding(mesh, spec)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def data_parallel_sharding(mesh: Mesh, params) -> dict:
+    """Pure-dp: params fully replicated."""
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
+
+
+def shard_params(params, shardings):
+    return jax.tree.map(lambda p, s: jax.device_put(p, s), params, shardings)
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Multi-host bootstrap (replaces the reference's dead NCCL init,
+    dino/utils.py:437-469): jax.distributed over DCN, no-op when single-host
+    env vars are absent."""
+    if coordinator or "JAX_COORDINATOR_ADDRESS" in __import__("os").environ:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+    return jax.process_index(), jax.process_count()

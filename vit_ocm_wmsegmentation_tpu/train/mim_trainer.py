@@ -1,0 +1,150 @@
+"""MIM pretraining loop (rebuild of mim.py:83-222), data-parallel over a mesh.
+
+Differences from the reference, by design:
+
+* one jitted train step (fwd + bwd + clip + AdamW update) with donated
+  buffers — no Python-side optimizer stepping;
+* batches shard over the mesh 'data' axis; gradients reduce via GSPMD
+  (the DataParallel scatter/gather disappears);
+* loss convention: the global masked mean. The reference sums the per-GPU
+  means of nn.DataParallel (mim.py:163,174), which rescales gradients by the
+  device count; the single-device semantics is the global mean, which we
+  keep on any mesh size (documented delta, SURVEY.md §7);
+* checkpointing via orbax every SAVE_FREQ epochs; early stopping on stalled
+  loss mirrors mim.py:116-135.
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models import simmim
+from ..ops.metrics import AverageMeter
+from . import checkpoint as ckpt
+from .optim import build_optimizer
+from .schedule import build_schedule
+
+
+def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None, remat=False):
+    """Compiled MIM step: (params, opt_state, step_idx, x, mask) ->
+    (params, opt_state, loss, grad_norm)."""
+
+    def loss_fn(params, x, mask):
+        loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask)
+        return loss
+
+    def step(params, opt_state, x, mask):
+        loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
+    if mesh is not None and param_sharding is not None:
+        return jax.jit(
+            step,
+            donate_argnums=(0, 1),
+            in_shardings=(param_sharding, None, batch_sharding_, batch_sharding_),
+            out_shardings=(param_sharding, None, None, None),
+        )
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=False):
+    """Full pretraining driver. Returns (params, history).
+
+    cfg: utils.config tree; loader: data.Loader; eval_fn(params, vit_cfg,
+    epoch) optionally runs validation each epoch (mim.py:221).
+    """
+    from ..utils.logger import create_logger
+    from ..utils.wandb_shim import get_wandb
+
+    logger = logger or create_logger(cfg.OUTPUT, name=f"{cfg.MODEL.NAME}_{cfg.MODEL.PATCH_SIZE}")
+    wandb, use_wandb = get_wandb(use_wandb or cfg.WANDB)
+
+    vit_cfg = simmim.mim_vit_config(cfg.DATA.IMG_SIZE, cfg.MODEL.PATCH_SIZE)
+    params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))
+    if cfg.PRETRAINED_WEIGHTS:
+        try:
+            params = ckpt.load_torch_checkpoint(cfg.PRETRAINED_WEIGHTS, vit_cfg, cfg.MODEL.CHECKPOINT_KEY)
+        except Exception as e:  # mirror the reference's lenient load
+            logger.info(f"could not load pretrained weights: {e}; training from scratch")
+
+    n_iter = len(loader)
+    schedule = build_schedule(cfg, max(n_iter, 1))
+    tx = build_optimizer(cfg, params, schedule)
+    opt_state = tx.init(params)
+
+    param_sh = batch_sh = None
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, data_parallel_sharding, shard_params
+
+        param_sh = data_parallel_sharding(mesh, params)
+        batch_sh = batch_sharding(mesh)
+        params = shard_params(params, param_sh)
+    step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh)
+
+    n_params = sum(p.size for p in jax.tree.leaves(params))
+    logger.info(f"number of params: {n_params}")
+    logger.info("Start training")
+
+    history = []
+    min_loss = float("inf")
+    consec = 0
+    start_time = time.time()
+    for epoch in range(cfg.TRAIN.START_EPOCH, cfg.TRAIN.EPOCHS):
+        loss_meter, norm_meter, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
+        epoch_start = time.time()
+        end = time.time()
+        for idx, (img, mask) in enumerate(loader.epoch(epoch)):
+            if mesh is not None:
+                img = jax.device_put(img, batch_sh)
+                mask = jax.device_put(mask, batch_sh)
+            params, opt_state, loss, gnorm = step_fn(params, opt_state, jnp.asarray(img), jnp.asarray(mask))
+            loss_meter.update(float(loss), img.shape[0])
+            norm_meter.update(float(gnorm))
+            batch_time.update(time.time() - end)
+            end = time.time()
+            if idx % cfg.PRINT_FREQ == 0:
+                t = epoch * n_iter + idx
+                lr = float(schedule(jnp.asarray(t)))
+                etas = batch_time.avg * (n_iter - idx)
+                logger.info(
+                    f"Train: [{epoch}/{cfg.TRAIN.EPOCHS}][{idx}/{n_iter}]\t"
+                    f"eta {datetime.timedelta(seconds=int(etas))} lr {lr:.6f}\t"
+                    f"time {batch_time.val:.4f} ({batch_time.avg:.4f})\t"
+                    f"loss {loss_meter.val:.4f} ({loss_meter.avg:.4f})\t"
+                    f"grad_norm {norm_meter.val:.4f} ({norm_meter.avg:.4f})"
+                )
+                if use_wandb:
+                    wandb.log({"epoch": epoch, "train_loss": loss_meter.val,
+                               "train_loss_avg": loss_meter.avg, "lr": lr}, step=epoch)
+        logger.info(f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(time.time() - epoch_start))}")
+
+        if epoch % cfg.SAVE_FREQ == 0 or epoch == cfg.TRAIN.EPOCHS - 1:
+            ckpt.save_checkpoint(cfg.OUTPUT, epoch, {"params": params, "epoch": epoch})
+
+        if eval_fn is not None:
+            eval_fn(params, vit_cfg, epoch)
+
+        loss = loss_meter.avg
+        history.append(loss)
+        # early stopping on stalled loss (mim.py:116-135)
+        if loss < min_loss:
+            min_loss = loss
+            consec = 0
+        else:
+            consec += 1
+        logger.info(f"consecutive epochs = {consec}")
+        if cfg.early_stopping and consec >= 4 and min_loss - loss < 1e-3:
+            logger.info("Loss has not changed significantly in 4 epochs. Stopping training early.")
+            break
+
+    logger.info("Training time {}".format(datetime.timedelta(seconds=int(time.time() - start_time))))
+    return params, history
