@@ -1,0 +1,64 @@
+#!/usr/bin/env python
+"""North-star benchmark: OCM megapixels/sec/chip on tiled ViT-S/8 attention
+inference (the fused sliding-window mosaic pipeline, 1152^2 mosaic = 49
+overlapping 384^2 tiles, window 384 / stride 128 — the exact geometry of
+sw_processing.py).
+
+Baseline: the reference's measured eval throughput is ~2 images/s at 384^2
+on an RTX 2080 Ti including its per-image CPU post-processing
+(BASELINE.md), i.e. 2 * 0.384^2 = 0.295 MP/s. vs_baseline is measured
+against that number.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vit_ocm_wmsegmentation_tpu import pipeline as pl
+    from vit_ocm_wmsegmentation_tpu.models import vit
+
+    size, window, stride = 1152, 384, 128
+    cfg = vit.VIT_SMALL(patch_size=8)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    params = pl.cast_params(params, jnp.bfloat16)  # MXU-native compute; fp32 accum/softmax
+    rng = np.random.default_rng(0)
+    img = jnp.asarray((rng.random((size, size)) * 255).astype(np.uint8))
+
+    def run(im):
+        mask, attn = pl.segment_mosaic(params, cfg, im, window, stride, dtype=jnp.bfloat16)
+        return mask, attn
+
+    # compile + warmup
+    mask, attn = run(img)
+    jax.block_until_ready((mask, attn))
+
+    iters = 20
+    start = time.perf_counter()
+    for _ in range(iters):
+        mask, attn = run(img)
+    jax.block_until_ready((mask, attn))
+    dt = time.perf_counter() - start
+
+    mp = size * size / 1e6
+    mp_per_s = mp * iters / dt
+    baseline_mp_per_s = 2.0 * (0.384**2)  # reference eval: ~2 img/s at 384^2
+    print(json.dumps({
+        "metric": "mosaic_attention_inference_megapixels_per_sec_per_chip",
+        "value": round(mp_per_s, 3),
+        "unit": "MP/s",
+        "vs_baseline": round(mp_per_s / baseline_mp_per_s, 2),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

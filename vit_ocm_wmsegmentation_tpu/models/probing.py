@@ -63,8 +63,8 @@ def decode(dec_params, dec_state, cfg: ViTConfig, z, *, layer_num: int = 1, trai
     """Feature grid (B, gh, gw, D) -> logits (B, H, W, 1). Returns (y, state)."""
     p = cfg.patch_size
     if layer_num == 1:
-        y = jnp.dot(z, dec_params["conv"]["kernel"], preferred_element_type=z.dtype)
-        y = y + dec_params["conv"]["bias"]
+        y = jnp.dot(z, dec_params["conv"]["kernel"], preferred_element_type=jnp.float32)
+        y = (y + dec_params["conv"]["bias"].astype(jnp.float32)).astype(z.dtype)
         return nn.pixel_shuffle(y, p), dec_state
     y = nn.conv2d(dec_params["conv1"], z, stride=1, padding="SAME")
     y, bn_state = nn.batch_norm(dec_params["bn"], dec_state["bn"], y, train=train)

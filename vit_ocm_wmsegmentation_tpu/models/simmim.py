@@ -51,8 +51,8 @@ def encode(params, cfg: ViTConfig, x, mask):
     """
     b, h, w, _ = x.shape
     patches = nn.patchify(x, cfg.patch_size)
-    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=x.dtype)
-    tok = tok + params["patch_embed"]["bias"]
+    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32)
+    tok = (tok + params["patch_embed"]["bias"].astype(jnp.float32)).astype(x.dtype)
 
     wmask = mask.reshape(b, -1, 1).astype(tok.dtype)
     tok = tok * (1.0 - wmask) + params["mask_token"].astype(tok.dtype) * wmask
@@ -70,8 +70,8 @@ def encode(params, cfg: ViTConfig, x, mask):
 def reconstruct(params, cfg: ViTConfig, x, mask):
     """Full MIM forward: encoder + PixelShuffle decoder -> (B, H, W, 3)."""
     z = encode(params, cfg, x, mask)
-    rec = jnp.dot(z, params["decoder"]["kernel"], preferred_element_type=z.dtype)
-    rec = rec + params["decoder"]["bias"]
+    rec = jnp.dot(z, params["decoder"]["kernel"], preferred_element_type=jnp.float32)
+    rec = (rec + params["decoder"]["bias"].astype(jnp.float32)).astype(z.dtype)
     return nn.pixel_shuffle(rec, cfg.patch_size)
 
 

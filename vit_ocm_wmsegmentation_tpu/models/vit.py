@@ -142,8 +142,8 @@ def prepare_tokens(params, cfg: ViTConfig, x):
     """(B,H,W,3) image -> (B, 1+gh*gw, D) tokens with CLS + pos embed."""
     b, h, w, _ = x.shape
     patches = nn.patchify(x, cfg.patch_size)
-    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=x.dtype)
-    tok = tok + params["patch_embed"]["bias"]
+    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32)
+    tok = (tok + params["patch_embed"]["bias"].astype(jnp.float32)).astype(x.dtype)
     cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, cfg.embed_dim))
     tok = jnp.concatenate([cls, tok], axis=1)
     pos = interpolate_pos_embed(params, cfg, (h // cfg.patch_size, w // cfg.patch_size))
@@ -267,8 +267,8 @@ def query_attention_rows(params, cfg: ViTConfig, x, queries):
     h = nn.layer_norm(bp["norm1"], tok, cfg.ln_eps)
     d = cfg.embed_dim
     wqkv, bqkv = bp["attn"]["wqkv"], bp["attn"].get("bqkv")
-    q = jnp.dot(h[:, queries, :], wqkv[:, :d], preferred_element_type=h.dtype)
-    k = jnp.dot(h, wqkv[:, d : 2 * d], preferred_element_type=h.dtype)
+    q = jnp.dot(h[:, queries, :], wqkv[:, :d], preferred_element_type=jnp.float32).astype(h.dtype)
+    k = jnp.dot(h, wqkv[:, d : 2 * d], preferred_element_type=jnp.float32).astype(h.dtype)
     if bqkv is not None:
         q = q + bqkv[:d]
         k = k + bqkv[d : 2 * d]
@@ -294,7 +294,7 @@ def last_block_key_features(params, cfg: ViTConfig, x):
     bp = block_params(params, cfg.depth - 1)
     h = nn.layer_norm(bp["norm1"], tok, cfg.ln_eps)
     d = cfg.embed_dim
-    k = jnp.dot(h, bp["attn"]["wqkv"][:, d : 2 * d], preferred_element_type=h.dtype)
+    k = jnp.dot(h, bp["attn"]["wqkv"][:, d : 2 * d], preferred_element_type=jnp.float32).astype(h.dtype)
     if "bqkv" in bp["attn"]:
         k = k + bp["attn"]["bqkv"][d : 2 * d]
     return k[:, 1:, :].reshape(b, gh, gw, d)

@@ -55,11 +55,12 @@ def torch_linear_init(key, in_features, out_features, dtype=jnp.float32):
 
 
 def linear(params, x):
-    """x @ kernel + bias. kernel: (in, out)."""
-    y = jnp.dot(x, params["kernel"], preferred_element_type=x.dtype)
+    """x @ kernel + bias. kernel: (in, out). Accumulates in float32 (MXU
+    native) regardless of the compute dtype, then casts back."""
+    y = jnp.dot(x, params["kernel"], preferred_element_type=jnp.float32)
     if "bias" in params:
-        y = y + params["bias"]
-    return y
+        y = y + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 def layer_norm(params, x, eps=1e-6):

@@ -44,15 +44,15 @@ def mha(x, params, num_heads, *, return_attn=False):
     qkv is returned in the reference layout (3, B, h, N, d) because the
     k-means feature-clustering path consumes it directly (eval.py:186-202).
     """
-    qkv = jnp.dot(x, params["wqkv"], preferred_element_type=x.dtype)
+    qkv = jnp.dot(x, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "bqkv" in params:
-        qkv = qkv + params["bqkv"]
+        qkv = qkv + params["bqkv"].astype(x.dtype)
     q, k, v = split_qkv(qkv, num_heads)
     attn = attention_scores(q, k)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v, preferred_element_type=jnp.float32).astype(x.dtype)
     b, h, n, hd = out.shape
     out = out.transpose(0, 2, 1, 3).reshape(b, n, h * hd)
-    out = jnp.dot(out, params["wo"], preferred_element_type=x.dtype) + params["bo"]
+    out = (jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)).astype(x.dtype)
     if return_attn:
         return out, attn, jnp.stack([q, k, v])
     return out
@@ -68,9 +68,9 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     version is the portable fallback and the correctness oracle.
     """
     b, n, dmodel = x.shape
-    qkv = jnp.dot(x, params["wqkv"], preferred_element_type=x.dtype)
+    qkv = jnp.dot(x, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "bqkv" in params:
-        qkv = qkv + params["bqkv"]
+        qkv = qkv + params["bqkv"].astype(x.dtype)
     q, k, v = split_qkv(qkv, num_heads)
     scale = q.shape[-1] ** -0.5
 
@@ -89,7 +89,8 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     out = jax.lax.map(lambda qc: chunk(qc), jnp.moveaxis(qp, 2, 0))
     out = jnp.moveaxis(out, 0, 2).reshape(b, num_heads, nq * q_chunk, -1)[:, :, :n]
     out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
-    return jnp.dot(out, params["wo"], preferred_element_type=x.dtype) + params["bo"]
+    proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
+    return proj.astype(x.dtype)
 
 
 def cls_row_attention(x, params, num_heads):
@@ -102,11 +103,11 @@ def cls_row_attention(x, params, num_heads):
     b, n, d = x.shape
     wqkv, bqkv = params["wqkv"], params.get("bqkv")
     wq, wk = wqkv[:, :d], wqkv[:, d : 2 * d]
-    q_cls = jnp.dot(x[:, 0, :], wq, preferred_element_type=x.dtype)
-    k = jnp.dot(x, wk, preferred_element_type=x.dtype)
+    q_cls = jnp.dot(x[:, 0, :], wq, preferred_element_type=jnp.float32)
+    k = jnp.dot(x, wk, preferred_element_type=jnp.float32)
     if bqkv is not None:
-        q_cls = q_cls + bqkv[:d]
-        k = k + bqkv[d : 2 * d]
+        q_cls = q_cls + bqkv[:d].astype(jnp.float32)
+        k = k + bqkv[d : 2 * d].astype(jnp.float32)
     hd = d // num_heads
     q_cls = q_cls.reshape(b, num_heads, hd)
     k = k.reshape(b, n, num_heads, hd).transpose(0, 2, 1, 3)

@@ -30,13 +30,22 @@ from .ops.filters import median_filter
 from .ops.resize import resize_linear_cv2, smooth_attention
 
 
-def to_model_input(img_u8):
+def to_model_input(img_u8, dtype=jnp.float32):
     """uint8 (..., H, W) grayscale -> float (..., H, W, 3) in [0,1].
 
     Matches PIL convert('RGB') (channel replication) + ToTensor (/255).
+    ``dtype=jnp.bfloat16`` runs the ViT in MXU-native bf16 (attention logits,
+    LayerNorm and all matmul accumulation stay float32).
     """
-    x = img_u8.astype(jnp.float32) / 255.0
+    x = (img_u8.astype(jnp.float32) / 255.0).astype(dtype)
     return jnp.broadcast_to(x[..., None], x.shape + (3,))
+
+
+def cast_params(params, dtype):
+    """Cast floating-point leaves (weights) to a compute dtype (bf16)."""
+    return jax.tree.map(
+        lambda p: p.astype(dtype) if jnp.issubdtype(p.dtype, jnp.floating) else p, params
+    )
 
 
 def head_average_attention(params, cfg, x, median_size=1):
@@ -115,12 +124,12 @@ def mosaic_tiles(img_u8, window, stride):
     return st.extract_tiles(img_u8, ys, xs, window), len(ys), len(xs)
 
 
-def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1):
+def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1, dtype=jnp.float32):
     """Tile batch -> per-tile smoothed attention maps, reproducing
     sw_processing.py:235-258: head-average, min-max normalize, *255,
     /8 then x8 INTER_LINEAR (== bilinear upsample of the grid)."""
-    x = to_model_input(tiles_u8)
-    avg = head_average_attention(params, cfg, x, median_size)  # (T, g, g)
+    x = to_model_input(tiles_u8, dtype)
+    avg = head_average_attention(params, cfg, x, median_size).astype(jnp.float32)
 
     def one(g):
         g = th.min_max_normalize(g) * 255.0
@@ -129,8 +138,8 @@ def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1):
     return jax.vmap(one)(avg)
 
 
-@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size"))
-def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1):
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
+def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1, dtype=jnp.float32):
     """Full-mosaic attention map: (H, W) uint8 -> (H, W) float32.
 
     One fused graph: batched gather -> vmapped ViT (CLS-row attention) ->
@@ -138,12 +147,12 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1)
     """
     h, w = img_u8.shape
     tiles, n_y, n_x = mosaic_tiles(img_u8, window, stride)
-    maps = _per_tile_attention(params, cfg, tiles, window, median_size)
+    maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
     return st.stitch_blended(maps, window, stride, (h, w))
 
 
-@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size"))
-def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1):
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
+def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1, dtype=jnp.float32):
     """Mosaic white-matter mask: the sw_processing.py end-to-end flow.
 
     Returns (mask_u8 {0,255}, attention (H,W) float32). The reference
@@ -152,6 +161,6 @@ def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1):
     a partition of unity), so we threshold the original mosaic directly —
     documented delta, at most +-1 uint8 level inside overlap bands.
     """
-    attn = attention_mosaic(params, cfg, img_u8, window, stride, median_size)
+    attn = attention_mosaic(params, cfg, img_u8, window, stride, median_size, dtype)
     mask, _, _ = th.threshold_multiplicative(img_u8, attn)
     return mask, attn
