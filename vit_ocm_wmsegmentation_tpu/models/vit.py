@@ -150,10 +150,17 @@ def prepare_tokens(params, cfg: ViTConfig, x):
     return tok + pos.astype(tok.dtype)
 
 
-def _block_forward(bp, cfg: ViTConfig, x, *, fused=True):
-    """One pre-norm transformer block (vision_transformer.py:94-114)."""
+def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto"):
+    """One pre-norm transformer block (vision_transformer.py:94-114).
+
+    impl: "auto" (Pallas flash on TPU — inference only, no VJP yet),
+    "chunked" (streaming-softmax XLA path, differentiable — training),
+    "materialize" (full attention matrix, used by the extraction paths).
+    """
     h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
-    if fused:
+    if impl == "auto":
+        y = att.mha_auto(h, bp["attn"], cfg.num_heads)
+    elif impl == "chunked":
         y = att.mha_fused(h, bp["attn"], cfg.num_heads)
     else:
         y = att.mha(h, bp["attn"], cfg.num_heads)
@@ -165,14 +172,14 @@ def _block_forward(bp, cfg: ViTConfig, x, *, fused=True):
     return x + h
 
 
-def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, fused=True, remat=False):
+def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto", remat=False):
     """Run blocks [lo, hi) under lax.scan over the stacked depth axis."""
     if hi <= lo:
         return x
     sliced = jax.tree.map(lambda a: a[lo:hi], params["blocks"])
 
     def body(carry, bp):
-        return _block_forward(bp, cfg, carry, fused=fused), None
+        return _block_forward(bp, cfg, carry, impl=impl), None
 
     if remat:
         body = jax.checkpoint(body)

@@ -93,6 +93,16 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     return proj.astype(x.dtype)
 
 
+def mha_auto(x, params, num_heads):
+    """Backend dispatch: the Pallas flash kernel on TPU backends, the
+    chunked XLA path elsewhere (CPU tests, autodiff)."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from .flash_attention import mha_flash
+
+        return mha_flash(x, params, num_heads)
+    return mha_fused(x, params, num_heads)
+
+
 def cls_row_attention(x, params, num_heads):
     """CLS-row attention probabilities of one block: (B, h, N).
 
