@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Offline tiler: split a folder of images into non-overlapping square crops
+on disk (rebuild of croping.py:13-37)."""
+
+import argparse
+import os
+from glob import glob
+
+from PIL import Image
+
+
+def parse_args():
+    parser = argparse.ArgumentParser("Offline image tiler")
+    parser.add_argument("--image_path", required=True, type=str)
+    parser.add_argument("--output_dir", required=True, type=str)
+    parser.add_argument("--crop_size", default=384, type=int)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    os.makedirs(args.output_dir, exist_ok=True)
+    paths = sorted(glob(os.path.join(args.image_path, "*")))
+    count = 0
+    for path in paths:
+        img = Image.open(path)
+        name = os.path.basename(path).rsplit(".", 1)[0]
+        w, h = img.size
+        c = args.crop_size
+        for i in range(h // c):
+            for j in range(w // c):
+                crop = img.crop((j * c, i * c, (j + 1) * c, (i + 1) * c))
+                crop.save(os.path.join(args.output_dir, f"{name}_crop_{i}_{j}.png"))
+                count += 1
+    print(f"wrote {count} crops from {len(paths)} images to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
