@@ -1,0 +1,125 @@
+"""ctypes bindings for the native host kernels (native/ocm_native.cpp).
+
+Loads (and, if needed, builds) libocm_native.so. Every function has the same
+semantics as the scipy-based fallbacks in ops/morphology.py; the ops layer
+picks the native path automatically when the library is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libocm_native.so")
+
+_lib = None
+
+
+def _build():
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+
+
+def load(build_if_missing: bool = True):
+    """Returns the loaded library or None when unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and build_if_missing:
+        try:
+            _build()
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    lib.cc_label.restype = ctypes.c_int32
+    lib.cc_label.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, i32p]
+    lib.remove_small_objects.restype = ctypes.c_int32
+    lib.remove_small_objects.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p]
+    lib.binary_dilation.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int32, ctypes.c_int32, u8p]
+    lib.binary_erosion.argtypes = [u8p, ctypes.c_int32, ctypes.c_int32, u8p, ctypes.c_int32, ctypes.c_int32,
+                                   ctypes.c_uint8, u8p]
+    lib.region_props.argtypes = [i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, i64p, f64p, i32p]
+    lib.histogram_u8.argtypes = [u8p, ctypes.c_int64, i64p]
+    lib.otsu_threshold.restype = ctypes.c_double
+    lib.otsu_threshold.argtypes = [u8p, ctypes.c_int64]
+    _lib = lib
+    return lib
+
+
+def _u8(a):
+    return np.ascontiguousarray(a, dtype=np.uint8)
+
+
+def _ptr(a, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def cc_label(mask: np.ndarray):
+    """(labels int32, n): 8-connected components in first-encounter order."""
+    lib = load()
+    m = _u8(mask != 0)
+    h, w = m.shape
+    labels = np.empty((h, w), np.int32)
+    n = lib.cc_label(_ptr(m, ctypes.c_uint8), h, w, _ptr(labels, ctypes.c_int32))
+    return labels, int(n)
+
+
+def remove_small_objects(mask: np.ndarray, min_size: int = 20) -> np.ndarray:
+    lib = load()
+    m = _u8(mask != 0)
+    h, w = m.shape
+    out = np.empty((h, w), np.uint8)
+    lib.remove_small_objects(_ptr(m, ctypes.c_uint8), h, w, min_size, _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)
+
+
+def binary_dilation(mask: np.ndarray, se: np.ndarray) -> np.ndarray:
+    lib = load()
+    m, s = _u8(mask != 0), _u8(se != 0)
+    h, w = m.shape
+    out = np.empty((h, w), np.uint8)
+    lib.binary_dilation(_ptr(m, ctypes.c_uint8), h, w, _ptr(s, ctypes.c_uint8), s.shape[0], s.shape[1],
+                        _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)
+
+
+def binary_erosion(mask: np.ndarray, se: np.ndarray, border_value: int = 0) -> np.ndarray:
+    lib = load()
+    m, s = _u8(mask != 0), _u8(se != 0)
+    h, w = m.shape
+    out = np.empty((h, w), np.uint8)
+    lib.binary_erosion(_ptr(m, ctypes.c_uint8), h, w, _ptr(s, ctypes.c_uint8), s.shape[0], s.shape[1],
+                       border_value, _ptr(out, ctypes.c_uint8))
+    return out.astype(bool)
+
+
+def region_props(labels: np.ndarray, n: int):
+    """(areas int64 (n,), centroids float64 (n,2) as (x,y), bbox int32 (n,4))."""
+    lib = load()
+    lab = np.ascontiguousarray(labels, np.int32)
+    h, w = lab.shape
+    areas = np.empty(n, np.int64)
+    centroids = np.empty((n, 2), np.float64)
+    bbox = np.empty((n, 4), np.int32)
+    lib.region_props(_ptr(lab, ctypes.c_int32), h, w, n, _ptr(areas, ctypes.c_int64),
+                     _ptr(centroids, ctypes.c_double), _ptr(bbox, ctypes.c_int32))
+    return areas, centroids, bbox
+
+
+def otsu_threshold(img_u8: np.ndarray) -> float:
+    lib = load()
+    a = _u8(img_u8)
+    return float(lib.otsu_threshold(_ptr(a, ctypes.c_uint8), a.size))

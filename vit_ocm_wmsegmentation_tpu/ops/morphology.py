@@ -68,8 +68,22 @@ def binary_closing(x, structure):
 _EIGHT = np.ones((3, 3), bool)
 
 
+def _native():
+    """First-party C++ kernels (native/ocm_native.cpp) when built; None
+    falls back to scipy."""
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def remove_small_objects(mask: np.ndarray, min_size=20, connectivity=2) -> np.ndarray:
     """skimage.morphology.remove_small_objects for boolean masks."""
+    nat = _native() if connectivity == 2 else None
+    if nat is not None:
+        return nat.remove_small_objects(mask, min_size)
     structure = _EIGHT if connectivity == 2 else None
     labels, n = ndi.label(mask, structure=structure)
     if n == 0:
@@ -88,6 +102,11 @@ def get_rois(mask_u8: np.ndarray) -> np.ndarray:
     # skimage binary_closing: dilation (border background) then erosion with
     # out-of-image treated as foreground
     st = disk(2)
+    nat = _native()
+    if nat is not None:
+        mask = nat.binary_erosion(nat.binary_dilation(mask, st), st, border_value=1)
+        labels, _ = nat.cc_label(mask)
+        return labels
     mask = ndi.binary_dilation(mask, structure=st)
     mask = ndi.binary_erosion(mask, structure=st, border_value=1)
     labels, _ = ndi.label(mask, structure=_EIGHT)
@@ -97,10 +116,13 @@ def get_rois(mask_u8: np.ndarray) -> np.ndarray:
 def region_centroids(labels: np.ndarray, min_area=10):
     """(x, y) centroids of regions with area >= min_area, in ascending label
     order — the query points of morphology_cleaning (utils.py:256-301)."""
-    ids = np.unique(labels)
-    ids = ids[ids != 0]
+    n = int(labels.max())
+    nat = _native()
+    if nat is not None and n > 0:
+        areas, centroids, _ = nat.region_props(labels, n)
+        return [tuple(centroids[i]) for i in range(n) if areas[i] >= min_area]
     points = []
-    for i in ids:
+    for i in range(1, n + 1):
         ys, xs = np.nonzero(labels == i)
         if ys.size >= min_area:
             points.append((float(xs.mean()), float(ys.mean())))
