@@ -45,3 +45,41 @@ def test_mha_flash_matches_mha_fused():
     want = att.mha_fused(x, params, 2)
     got = mha_flash(x, params, 2, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def _vjp_oracle(q, k, v, do):
+    def f(q, k, v):
+        return jnp.einsum("bhqk,bhkd->bhqd", att.attention_scores(q, k), v)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(do)
+
+
+@pytest.mark.parametrize("n", [64, 130])
+def test_flash_vjp_matches_xla(n):
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import flash_attention_trainable
+
+    q, k, v = _qkv(2, 2, n, 64, seed=100 + n)
+    do = jnp.asarray(np.random.default_rng(n).normal(0, 1, q.shape).astype(np.float32))
+    want_dq, want_dk, want_dv = _vjp_oracle(q, k, v, do)
+    _, vjp = jax.vjp(lambda q, k, v: flash_attention_trainable(q, k, v, 128, True), q, k, v)
+    got_dq, got_dk, got_dv = vjp(do)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(want_dk), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv), atol=3e-4)
+
+
+def test_mha_flash_grad_matches_chunked():
+    rng = np.random.default_rng(5)
+    d = 32
+    params = {
+        "wqkv": jnp.asarray(rng.normal(0, 0.05, (d, 3 * d)).astype(np.float32)),
+        "bqkv": jnp.asarray(rng.normal(0, 0.05, (3 * d,)).astype(np.float32)),
+        "wo": jnp.asarray(rng.normal(0, 0.05, (d, d)).astype(np.float32)),
+        "bo": jnp.asarray(rng.normal(0, 0.05, (d,)).astype(np.float32)),
+    }
+    x = jnp.asarray(rng.normal(0, 1, (2, 65, d)).astype(np.float32))
+    g_chunk = jax.grad(lambda p: jnp.sum(jnp.square(att.mha_fused(x, p, 2))))(params)
+    g_flash = jax.grad(lambda p: jnp.sum(jnp.square(mha_flash(x, p, 2, interpret=True))))(params)
+    for a, b in zip(jax.tree.leaves(g_flash), jax.tree.leaves(g_chunk)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)

@@ -34,7 +34,7 @@ def encode(params, cfg: ViTConfig, x):
     """VisionTransformerForFinetune.forward (model.py:121-139): token grid."""
     b, h, w, _ = x.shape
     tok = vit_mod.prepare_tokens(params, cfg, x)
-    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="chunked")
+    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto")  # flash kernel on TPU (custom VJP), chunked on CPU
     tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     return tok[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)

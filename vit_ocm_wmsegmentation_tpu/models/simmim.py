@@ -62,7 +62,7 @@ def encode(params, cfg: ViTConfig, x, mask):
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     tok = tok + vit_mod.interpolate_pos_embed(params, cfg, (gh, gw)).astype(tok.dtype)
 
-    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="chunked")
+    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto")  # flash kernel on TPU (custom VJP), chunked on CPU
     tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
     return tok[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
 
