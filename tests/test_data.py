@@ -1,0 +1,68 @@
+"""Data pipeline: transforms, loaders, prefetching."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from vit_ocm_wmsegmentation_tpu.data import datasets as D
+from vit_ocm_wmsegmentation_tpu.data.prefetch import prefetch
+
+
+@pytest.fixture()
+def img_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        arr = (rng.random((50, 70, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{i}.jpg")
+    return tmp_path
+
+
+def test_center_crop_mod8():
+    x = np.zeros((37, 43, 3))
+    assert D.center_crop_mod8(x).shape == (32, 40, 3)
+
+
+def test_random_resized_crop_matches_torchvision_params(img_dir):
+    """Distribution check: crops stay within scale/ratio bounds."""
+    img = Image.open(str(img_dir / "0.jpg"))
+    rng = np.random.default_rng(1)
+    for _ in range(10):
+        out = D.random_resized_crop(img, rng, out_size=32)
+        assert out.size == (32, 32)
+
+
+def test_simmim_transform_shapes(img_dir):
+    t = D.SimMIMTransform(img_size=32, mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
+    rng = np.random.default_rng(2)
+    arr, mask = t(Image.open(str(img_dir / "1.jpg")), rng)
+    assert arr.shape == (32, 32, 3) and arr.dtype == np.float32 and arr.max() <= 1.0
+    assert mask.shape == (4, 4) and mask.sum() == 8
+
+
+def test_loader_determinism_and_drop_last(img_dir):
+    t = D.SimMIMTransform(img_size=16, mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
+    loader = D.Loader(D.list_images(str(img_dir)), t, batch_size=2, seed=0)
+    assert len(loader) == 2  # 5 images, drop_last
+    a = [x.sum() for x, _ in loader.epoch(0)]
+    b = [x.sum() for x, _ in loader.epoch(0)]
+    c = [x.sum() for x, _ in loader.epoch(1)]
+    np.testing.assert_allclose(a, b)
+    assert not np.allclose(a, c)
+
+
+def test_prefetch_preserves_order_and_items(img_dir):
+    items = [(np.full((2, 2), i), i) for i in range(7)]
+    out = list(prefetch(iter(items), depth=3))
+    assert [i for _, i in out] == list(range(7))
+
+
+def test_prefetch_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = prefetch(gen())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        for _ in it:
+            pass

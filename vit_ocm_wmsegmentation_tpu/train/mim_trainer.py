@@ -102,10 +102,9 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         loss_meter, norm_meter, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         epoch_start = time.time()
         end = time.time()
-        for idx, (img, mask) in enumerate(loader.epoch(epoch)):
-            if mesh is not None:
-                img = jax.device_put(img, batch_sh)
-                mask = jax.device_put(mask, batch_sh)
+        from ..data.prefetch import prefetch
+
+        for idx, (img, mask) in enumerate(prefetch(loader.epoch(epoch), sharding=batch_sh)):
             params, opt_state, loss, gnorm = step_fn(params, opt_state, jnp.asarray(img), jnp.asarray(mask))
             loss_meter.update(float(loss), img.shape[0])
             norm_meter.update(float(gnorm))
