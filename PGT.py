@@ -39,6 +39,8 @@ def parse_args():
     parser.add_argument("--ratio", default=1.0, type=float)
     parser.add_argument("--H", default=384, type=int)
     parser.add_argument("--name", default="pgt", type=str)
+    parser.add_argument("--rand", action="store_true",
+                        help="average a random head subset per image (PGT.py rand mode)")
     return parser.parse_args()
 
 
@@ -66,8 +68,13 @@ def main():
     def apply_fn(p, s, x, train):
         return unet.apply(p, s, x, train=train)
 
+    rng_holder = [jax.random.PRNGKey(7)]
+
     def pseudo_fn(x):
-        return teacher_pseudo_labels(teacher, tcfg, x)
+        if not args.rand:
+            return teacher_pseudo_labels(teacher, tcfg, x)
+        rng_holder[0], sub = jax.random.split(rng_holder[0])
+        return teacher_pseudo_labels(teacher, tcfg, x, sub)
 
     train_loader = SegLoader(tr_x, None, args.H, args.batch_size, shuffle=True)
     valid_loader = SegLoader(va_x, None, args.H, args.batch_size)

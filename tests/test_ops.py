@@ -253,3 +253,23 @@ def test_get_rois_and_centroids():
     pts = morphology.region_centroids(labels)
     assert len(pts) == 2
     np.testing.assert_allclose(pts[0], (9.5, 9.5), atol=0.6)
+
+
+# ---------------------------------------------------------------------------
+# CLAHE
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed,shape", [(0, (64, 64)), (1, (128, 96))])
+def test_clahe_matches_cv2(seed, shape):
+    """cv2.createCLAHE(2.0, (8,8)) parity; cv2 interpolates the tile LUTs in
+    fixed-point, so up to +-1 level on a small pixel fraction is expected."""
+    from vit_ocm_wmsegmentation_tpu.ops.clahe import clahe
+
+    rng = np.random.default_rng(seed)
+    img = np.clip(rng.normal(120, 50, shape), 0, 255).astype(np.uint8)
+    want = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8)).apply(img)
+    got = np.asarray(clahe(jnp.asarray(img)))
+    d = np.abs(got.astype(int) - want.astype(int))
+    assert d.max() <= 1
+    assert (d == 0).mean() > 0.98

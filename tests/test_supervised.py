@@ -115,3 +115,20 @@ def test_test_supervised_outputs_triptychs(seg_dataset, tmp_path):
     assert len(outs) == 2
     im = np.asarray(Image.open(tmp_path / "res" / outs[0]))
     assert im.shape == (32, 32 * 3 + 20, 3)  # image | GT | pred with separators
+
+
+def test_teacher_pseudo_labels_rand_heads(seg_dataset):
+    """rand mode: random head subsets give valid masks that (generically)
+    differ from the all-heads average."""
+    import jax
+
+    teacher = vit.init(CFG, jax.random.PRNGKey(3))
+    x = jnp.asarray(np.stack([sup.load_image_cv2(f"{seg_dataset}/images/{i}.png", 32) for i in range(2)]))
+    y_all = sup.teacher_pseudo_labels(teacher, CFG, x)
+    y_rand = sup.teacher_pseudo_labels(teacher, CFG, x, jax.random.PRNGKey(0))
+    assert y_rand.shape == y_all.shape
+    assert set(np.unique(np.asarray(y_rand))) <= {0.0, 1.0}
+    y_rand2 = sup.teacher_pseudo_labels(teacher, CFG, x, jax.random.PRNGKey(1))
+    assert not np.array_equal(np.asarray(y_rand), np.asarray(y_rand2)) or not np.array_equal(
+        np.asarray(y_rand), np.asarray(y_all)
+    )

@@ -116,6 +116,25 @@ def segment_single(params, cfg, img_u8, method="ours", median_size=1):
 # ---------------------------------------------------------------------------
 
 
+def pad_mosaic(img_u8, window, stride):
+    """Edge-pad (H, W) up to the next size the window/stride geometry tiles
+    exactly: size = window + k*stride. The reference assumes exact fit and
+    crashes otherwise (sw_processing.py:151-163); we pad-and-crop instead to
+    keep shapes static under jit (SURVEY.md §7 'odd mosaic sizes')."""
+    h, w = img_u8.shape
+
+    def target(size):
+        if size <= window:
+            return window
+        k = -(-(size - window) // stride)
+        return window + k * stride
+
+    th, tw = target(h), target(w)
+    if (th, tw) == (h, w):
+        return img_u8, (h, w)
+    return jnp.pad(img_u8, ((0, th - h), (0, tw - w)), mode="edge"), (h, w)
+
+
 def mosaic_tiles(img_u8, window, stride):
     """(H, W) uint8 -> (T, window, window) uint8 tile batch, row-major."""
     h, w = img_u8.shape
@@ -145,10 +164,11 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     One fused graph: batched gather -> vmapped ViT (CLS-row attention) ->
     per-tile normalize/smooth -> ramp-blended overlap-add stitch.
     """
-    h, w = img_u8.shape
-    tiles, n_y, n_x = mosaic_tiles(img_u8, window, stride)
+    padded, (h, w) = pad_mosaic(img_u8, window, stride)
+    tiles, n_y, n_x = mosaic_tiles(padded, window, stride)
     maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
-    return st.stitch_blended(maps, window, stride, (h, w))
+    stitched = st.stitch_blended(maps, window, stride, padded.shape)
+    return stitched[:h, :w]
 
 
 @partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"))

@@ -36,7 +36,7 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
     (params, opt_state, loss, grad_norm)."""
 
     def loss_fn(params, x, mask):
-        loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask)
+        loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask, remat=remat)
         return loss
 
     def step(params, opt_state, x, mask):
@@ -88,7 +88,8 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         param_sh = data_parallel_sharding(mesh, params)
         batch_sh = batch_sharding(mesh)
         params = shard_params(params, param_sh)
-    step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh)
+    step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh,
+                              remat=bool(cfg.TRAIN.USE_CHECKPOINT))
 
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info(f"number of params: {n_params}")

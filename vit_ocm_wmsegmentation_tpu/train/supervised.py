@@ -115,12 +115,32 @@ def _pil_l_from_float(x):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def teacher_pseudo_labels(teacher_params, cfg, x):
+def teacher_pseudo_labels(teacher_params, cfg, x, rng_key=None):
     """(B,H,W,3) float batch -> (B,H,W,1) {0,1} float pseudo-masks
-    (PGT.py:57-86, head-average variant), fully on device."""
+    (PGT.py:57-86), fully on device.
+
+    rng_key=None averages all heads (the default path); with a key, each
+    image averages a random subset of 1..num_heads heads (the reference's
+    ``rand`` mode, PGT.py:68-78).
+    """
+    from ..models import vit as vit_mod
+
     b, h, w, _ = x.shape
     gray = _pil_l_from_float(x)
-    avg = head_average_attention(teacher_params, cfg, x)  # (B, gh, gw)
+    if rng_key is None:
+        avg = head_average_attention(teacher_params, cfg, x)  # (B, gh, gw)
+    else:
+        grids = vit_mod.cls_attention_grid(teacher_params, cfg, x)  # (B, nh, gh, gw)
+        nh = cfg.num_heads
+
+        def one(key, g):
+            k1, k2 = jax.random.split(key)
+            num = jax.random.randint(k1, (), 1, nh + 1)
+            order = jax.random.permutation(k2, nh)
+            wts = (jnp.arange(nh) < num).astype(jnp.float32)[jnp.argsort(order)]
+            return jnp.tensordot(wts, g, axes=1) / jnp.sum(wts)
+
+        avg = jax.vmap(one)(jax.random.split(rng_key, b), grids)
     attn = jax.vmap(lambda g: smooth_attention(g, cfg.patch_size, (h, w)))(avg)
     masks = jax.vmap(lambda im, a: threshold_ours(im, a)[0])(gray, attn)
     return (masks.astype(jnp.float32) / 255.0)[..., None]
