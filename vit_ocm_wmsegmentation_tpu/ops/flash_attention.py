@@ -12,8 +12,10 @@ Layout: q, k, v are (BH, N, d) with BH = batch*heads folded; d = head_dim
 (64 for ViT-S). N is padded to a lane multiple; padded key columns are
 masked to -inf, padded q rows are sliced off by the caller.
 
-Forward-only: the inference pipelines use it; training keeps the chunked
-XLA path (ops/attention.mha_fused) whose VJP is standard.
+:func:`flash_attention` is the raw forward; :func:`flash_attention_trainable`
+adds a Pallas backward (custom VJP) so both inference and training use the
+kernel on TPU (ops/attention.mha_auto dispatches; CPU falls back to the
+chunked XLA path).
 """
 
 from __future__ import annotations
@@ -26,12 +28,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid: int, scale: float):
+def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_valid: int, scale: float):
     q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (Np, d)
+    kt = kt_ref[0].astype(jnp.float32)  # (d, Np) — pre-transposed outside so
+    # the MXU consumes it directly (saves a per-program VMEM transpose)
     v = v_ref[0]  # (Np, d)
     s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # (bq, Np)
     np_keys = s.shape[-1]
@@ -71,7 +74,7 @@ def flash_attention(q, k, v, *, block_q: int = 512, interpret: bool = False):
         return jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
 
     qf = fold(q, np_q)
-    kf = fold(k, np_)
+    ktf = jnp.swapaxes(fold(k, np_), 1, 2)  # (BH, d, Np)
     vf = fold(v, np_)
 
     out = pl.pallas_call(
@@ -79,7 +82,7 @@ def flash_attention(q, k, v, *, block_q: int = 512, interpret: bool = False):
         grid=(b * h, nq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, np_), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
@@ -90,7 +93,7 @@ def flash_attention(q, k, v, *, block_q: int = 512, interpret: bool = False):
             transcendentals=b * h * n * n,
         ),
         interpret=interpret,
-    )(qf, kf, vf)
+    )(qf, ktf, vf)
     return out[:, :n, :].reshape(b, h, n, d)
 
 
