@@ -66,3 +66,14 @@ def test_prefetch_propagates_errors():
     with pytest.raises(ValueError):
         for _ in it:
             pass
+
+
+def test_loader_skips_unreadable_files(img_dir, capsys):
+    bad = img_dir / "zz_bad.jpg"
+    bad.write_bytes(b"not an image")
+    t = D.SimMIMTransform(img_size=16, mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
+    loader = D.Loader(D.list_images(str(img_dir)), t, batch_size=2, seed=0)
+    batches = list(loader.epoch(0))
+    total = sum(x.shape[0] for x, _ in batches)
+    assert total == 4  # 5 good images, drop_last with batch 2
+    assert "Error reading image" in capsys.readouterr().out

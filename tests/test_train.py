@@ -147,3 +147,33 @@ def test_mask_generator_semantics():
     assert m2.shape == (4, 4)
     # coarse cells expand to 2x2 blocks
     assert np.array_equal(m2[0::2, 0::2], m2[1::2, 1::2])
+
+
+def test_auto_resume_from_latest_checkpoint(tmp_path):
+    """TRAIN.AUTO_RESUME restores params and continues at epoch+1."""
+    from PIL import Image as PILImage
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        PILImage.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)).save(img_dir / f"{i}.jpg")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SAVE_FREQ = 1
+    cfg.TRAIN.EPOCHS = 1
+    import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+
+    orig = simmim_mod.mim_vit_config
+    simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
+    )
+    try:
+        loader = build_simmim_loader(str(img_dir), batch_size=2, img_size=32,
+                                     mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
+        train_mim(cfg, loader)  # writes ckpt_epoch_0
+        cfg.defrost()
+        cfg.TRAIN.EPOCHS = 2
+        _, history = train_mim(cfg, loader)  # must resume at epoch 1
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert len(history) == 1  # only epoch 1 ran

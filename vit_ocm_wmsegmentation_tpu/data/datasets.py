@@ -171,14 +171,23 @@ class Loader:
     def epoch(self, epoch: int) -> Iterator[tuple[np.ndarray, np.ndarray]]:
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(len(self.paths))
-        for start in range(0, len(order), self.batch_size):
-            idx = order[start : start + self.batch_size]
-            if len(idx) < self.batch_size and self.drop_last:
-                return
-            imgs, masks = [], []
-            for i in idx:
-                img = Image.open(self.paths[i])
-                arr, mask = self.transform(img, rng)
+        pending = list(order)
+        imgs, masks = [], []
+        while pending or (imgs and not self.drop_last):
+            if pending:
+                i = pending.pop(0)
+                try:
+                    # unreadable files are skipped with a warning — the
+                    # reference's swallow-errors __getitem__ (data.py:67-80)
+                    # returns (None, None) and crashes later; skipping keeps
+                    # batch shapes static for jit
+                    img = Image.open(self.paths[i])
+                    arr, mask = self.transform(img, rng)
+                except Exception as e:
+                    print(f"Error reading image: {self.paths[i]} ({e}); skipping")
+                    continue
                 imgs.append(arr)
                 masks.append(mask)
-            yield np.stack(imgs), np.stack(masks)
+            if len(imgs) == self.batch_size or (not pending and imgs and not self.drop_last):
+                yield np.stack(imgs), np.stack(masks)
+                imgs, masks = [], []

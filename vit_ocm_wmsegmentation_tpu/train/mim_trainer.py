@@ -76,6 +76,18 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         except Exception as e:  # mirror the reference's lenient load
             logger.info(f"could not load pretrained weights: {e}; training from scratch")
 
+    start_epoch = cfg.TRAIN.START_EPOCH
+    if cfg.TRAIN.AUTO_RESUME:
+        # the reference declares TRAIN.AUTO_RESUME but never reads it
+        # (config.py:105); here it actually resumes from the newest
+        # ckpt_epoch_* in OUTPUT
+        latest = ckpt.latest_checkpoint(cfg.OUTPUT)
+        if latest is not None:
+            restored = ckpt.restore_checkpoint(latest, {"params": params, "epoch": 0})
+            params = restored["params"]
+            start_epoch = int(restored["epoch"]) + 1
+            logger.info(f"auto-resumed from {latest} at epoch {start_epoch}")
+
     n_iter = len(loader)
     schedule = build_schedule(cfg, max(n_iter, 1))
     tx = build_optimizer(cfg, params, schedule)
@@ -99,7 +111,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     min_loss = float("inf")
     consec = 0
     start_time = time.time()
-    for epoch in range(cfg.TRAIN.START_EPOCH, cfg.TRAIN.EPOCHS):
+    for epoch in range(start_epoch, cfg.TRAIN.EPOCHS):
         loss_meter, norm_meter, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         epoch_start = time.time()
         end = time.time()
