@@ -58,7 +58,7 @@ def main():
     acc, f1, loss = evaluation.validate(
         params, cfg, samples, method=args.method, crop=args.crop,
         median_size=int(args.median_filter), logger=logger,
-        wandb=wandb if use_wandb else None,
+        wandb=wandb if use_wandb else None, batch_size=int(args.batch_size),
     )
     if use_wandb:
         wandb.finish()

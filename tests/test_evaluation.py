@@ -79,3 +79,10 @@ def test_validate_chan_vese(dataset, params):
     samples = build_eval_samples(dataset, 32)[:1]
     acc, f1, loss = evaluation.validate(params, CFG, samples, method="chan-vese")
     assert 0.0 <= acc <= 1.0
+
+
+def test_validate_batched_matches_per_image(dataset, params):
+    samples = build_eval_samples(dataset, 32)
+    a1 = evaluation.validate(params, CFG, samples, method="ours")
+    a2 = evaluation.validate(params, CFG, samples, method="ours", batch_size=2)
+    np.testing.assert_allclose(a1, a2, atol=1e-6)

@@ -10,7 +10,10 @@ collectives (psum over ICI) — no hand-written communication.
 from .mesh import (
     batch_sharding,
     data_parallel_sharding,
+    init_distributed,
+    is_main_process,
     make_mesh,
+    on_main_process,
     replicated,
     vit_param_sharding,
 )

@@ -85,6 +85,19 @@ def shard_params(params, shardings):
     return jax.tree.map(lambda p, s: jax.device_put(p, s), params, shardings)
 
 
+def is_main_process() -> bool:
+    """Replaces the reference's rank gating (dino/utils.py:413-419):
+    process 0 owns logging/checkpoint IO in multi-host runs."""
+    return jax.process_index() == 0
+
+
+def on_main_process(fn, *args, **kwargs):
+    """save_on_master equivalent: run fn only on process 0."""
+    if is_main_process():
+        return fn(*args, **kwargs)
+    return None
+
+
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
                      process_id: int | None = None):
     """Multi-host bootstrap (replaces the reference's dead NCCL init,
