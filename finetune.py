@@ -12,7 +12,6 @@ import argparse
 from glob import glob
 
 import jax
-import jax.numpy as jnp
 
 from vit_ocm_wmsegmentation_tpu.models import probing
 from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt

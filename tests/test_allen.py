@@ -8,7 +8,6 @@ import pytest
 from PIL import Image
 
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 

@@ -1,7 +1,6 @@
 """Vendored DINO surface: cosine_scheduler, LARS, MultiCrop, DINOHead, meters."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ import pytest
 from PIL import Image
 
 import jax
-import jax.numpy as jnp
 
 from vit_ocm_wmsegmentation_tpu import evaluation
 from vit_ocm_wmsegmentation_tpu.data import build_eval_samples

@@ -1,7 +1,6 @@
 """Sharding/collective tests on the 8-device virtual CPU mesh."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -15,7 +14,7 @@ from vit_ocm_wmsegmentation_tpu.parallel import (
     vit_param_sharding,
 )
 from vit_ocm_wmsegmentation_tpu.parallel.mesh import shard_params
-from vit_ocm_wmsegmentation_tpu.train import optim, schedule
+from vit_ocm_wmsegmentation_tpu.train import optim
 from vit_ocm_wmsegmentation_tpu.train.mim_trainer import make_train_step
 from vit_ocm_wmsegmentation_tpu.utils.config import default_config
 
