@@ -13,6 +13,8 @@ greater than the threshold mapped to 255. We reproduce exactly that.
 
 from __future__ import annotations
 
+import numpy as onp
+
 import jax
 import jax.numpy as jnp
 
@@ -121,10 +123,8 @@ def blend_ours(img_u8, attention, alpha=0.4):
     # float32 nor exact integer math reproduces it on TPU. The blend is a pure
     # function of two uint8s -> build the exact 256x256 LUT with numpy float64
     # at trace time and gather. One 64KB table, fully fused.
-    import numpy as _onp
-
-    iv = _onp.arange(256.0)
-    lut = ((iv[:, None] / 2) * (1 - alpha) + (iv[None, :] / 2) * alpha).astype(_onp.uint8)
+    iv = onp.arange(256.0)
+    lut = ((iv[:, None] / 2) * (1 - alpha) + (iv[None, :] / 2) * alpha).astype(onp.uint8)
     blend = jnp.asarray(lut)[img_u8.astype(jnp.int32), attn_u8.astype(jnp.int32)]
     return blend, attn_u8
 
@@ -145,9 +145,10 @@ def threshold_multiplicative(img_u8, attention):
     Returns (th_blend, th_original, th_attention) uint8 {0,255} masks.
     """
     attn = min_max_normalize(attention.astype(jnp.float32))
-    attn = attn / jnp.maximum(jnp.max(attn), _FLT_EPSILON)
-    result = (img_u8.astype(jnp.float32) * attn).astype(jnp.uint8)
-    attn_u8 = (min_max_normalize(attention.astype(jnp.float32)) * 255.0).astype(jnp.uint8)
+    # the reference divides again by max(attn); after min-max the max is 1
+    # (or the input was constant, where the guard keeps it finite)
+    result = (img_u8.astype(jnp.float32) * attn / jnp.maximum(jnp.max(attn), _FLT_EPSILON)).astype(jnp.uint8)
+    attn_u8 = (attn * 255.0).astype(jnp.uint8)
     th, _ = otsu_binary_u8(result)
     th2, _ = otsu_binary_u8(img_u8)
     th3, _ = otsu_binary_u8(attn_u8)
