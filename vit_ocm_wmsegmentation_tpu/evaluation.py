@@ -125,7 +125,14 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
     numbers, far less host/dispatch overhead.
     """
     meters = {k: AverageMeter() for k in ("loss", "acc", "f1", "precision", "recall", "jaccard", "time")}
-    batchable = crop == 1 and method in ("ours", "otsu", "heatmap_threshold") and batch_size > 1
+    # chan-vese stays per-image: a vmapped while_loop would keep updating
+    # already-converged lanes, changing its results; feature clustering has
+    # its own polarity handling below
+    batchable = (
+        crop == 1
+        and method in ("ours", "otsu", "heatmap_threshold", "k-means", "k-means_ours")
+        and batch_size > 1
+    )
     if batchable:
         end = time.time()
         idx = 0
