@@ -89,7 +89,14 @@ def score_pair(output_u8, target):
 
 def _image_attention(params, cfg, sample, crop: int, median_size: int):
     """Smoothed attention for one sample, crop==1 or grid-crop variant
-    (eval.py:135-171). Returns (attention (H,W), gray_u8 (H,W))."""
+    (eval.py:135-171). Returns (attention (H,W), gray_u8 (H,W)).
+
+    crop>1 delta: the reference re-opens the source image and resizes it
+    with PIL's default filter before cropping the grid
+    (data.py:97-122); here the grid is cut from the NEAREST-resized eval
+    image (one host decode per sample). Interpolation-filter difference
+    only; the crops and the ViT math are identical.
+    """
     h, w = sample.gray.shape
     if crop == 1:
         attn = attention_map_rgb(params, cfg, jnp.asarray(sample.image)[None], median_size)[0]
