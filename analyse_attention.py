@@ -107,6 +107,8 @@ def analyse_single(args, params, cfg, img_path):
                 print("No query points found.")
             else:
                 # reference query index: x//p * gw + y//p (analyse_attention.py:192)
+                # — note the reference transposes row/col AND omits the +1 CLS
+                # offset; both quirks are replicated for parity
                 queries = [int(px // cfg.patch_size) * gw + int(py // cfg.patch_size) for px, py in points]
                 queries = [min(q, gh * gw) for q in queries]
                 rows = vit.query_attention_rows(params, cfg, jnp.asarray(x), jnp.asarray(queries))

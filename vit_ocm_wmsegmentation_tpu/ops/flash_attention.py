@@ -29,14 +29,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_valid: int, scale: float):
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    kt = kt_ref[0].astype(jnp.float32)  # (d, Np) — pre-transposed outside so
-    # the MXU consumes it directly (saves a per-program VMEM transpose)
+    # inputs stay in their storage dtype (bf16 on the hot path) — the MXU
+    # takes bf16 operands at full rate and accumulates in f32; upcasting
+    # first would force a ~4x slower f32 matmul
+    q = q_ref[0]  # (bq, d)
+    kt = kt_ref[0]  # (d, Np) — pre-transposed outside so the MXU consumes it
+    # directly (saves a per-program VMEM transpose)
     v = v_ref[0]  # (Np, d)
     s = jax.lax.dot_general(
         q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bq, Np)
+    ) * scale  # (bq, Np) f32
     np_keys = s.shape[-1]
     if np_keys > n_valid:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
@@ -104,11 +107,12 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref,
     dq = dS K * scale. dk/dv accumulate across the (sequential) q-block grid
     axis into i-indexed output blocks."""
     j = pl.program_id(1)
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
+    # storage-dtype operands, f32 accumulation (see _attn_kernel)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
     np_keys = s.shape[-1]
@@ -119,7 +123,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref,
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)  # (bq, Np)
 
-    d = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
+    d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)  # (bq, 1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
     ds = p * (dp - d)  # (bq, Np)
 
