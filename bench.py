@@ -37,6 +37,17 @@ def main():
         mask, attn = pl.segment_mosaic(params, cfg, im, window, stride, dtype=jnp.bfloat16)
         return mask, attn
 
+    # parity gate: the bf16 mask must agree with the fp32 pipeline (the
+    # metric is MP/s *at Dice parity*)
+    params32 = vit.init(cfg, jax.random.PRNGKey(0))
+    mask32, _ = pl.segment_mosaic(params32, cfg, img, window, stride)
+    mask16, attn = run(img)
+    m32 = np.asarray(mask32) > 0
+    m16 = np.asarray(mask16) > 0
+    inter = np.logical_and(m32, m16).sum()
+    dice = 2 * inter / max(m32.sum() + m16.sum(), 1)
+    assert dice > 0.99, f"bf16/fp32 mask Dice {dice:.4f} below parity gate"
+
     # compile + warmup
     mask, attn = run(img)
     jax.block_until_ready((mask, attn))
