@@ -273,3 +273,27 @@ def test_clahe_matches_cv2(seed, shape):
     d = np.abs(got.astype(int) - want.astype(int))
     assert d.max() <= 1
     assert (d == 0).mean() > 0.98
+
+
+# ---------------------------------------------------------------------------
+# normalizers (utils.py:426-449)
+# ---------------------------------------------------------------------------
+
+
+def test_normalizers_match_reference_formulas():
+    from vit_ocm_wmsegmentation_tpu.ops import normalize as NM
+
+    rng = np.random.default_rng(20)
+    x = rng.normal(0, 2, (6, 5)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(NM.l1_normalize(jnp.asarray(x))),
+                               x / (np.abs(x).sum() + 1e-8), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(NM.l2_normalize(jnp.asarray(x))),
+                               x / np.sqrt((x**2).sum()), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(NM.zscore_normalize(jnp.asarray(x))),
+                               (x - x.mean()) / x.std(), rtol=1e-4, atol=1e-6)
+    sm = np.asarray(NM.softmax_normalize(jnp.asarray(x)))
+    np.testing.assert_allclose(sm.sum(axis=1), 1.0, atol=1e-6)
+    # zero-input passthrough guards
+    z = jnp.zeros((3, 3))
+    np.testing.assert_array_equal(np.asarray(NM.l2_normalize(z)), np.zeros((3, 3)))
+    np.testing.assert_array_equal(np.asarray(NM.zscore_normalize(z)), np.zeros((3, 3)))

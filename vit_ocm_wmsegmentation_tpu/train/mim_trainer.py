@@ -75,22 +75,28 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         except Exception as e:  # mirror the reference's lenient load
             logger.info(f"could not load pretrained weights: {e}; training from scratch")
 
-    start_epoch = cfg.TRAIN.START_EPOCH
-    if cfg.TRAIN.AUTO_RESUME:
-        # the reference declares TRAIN.AUTO_RESUME but never reads it
-        # (config.py:105); here it actually resumes from the newest
-        # ckpt_epoch_* in OUTPUT
-        latest = ckpt.latest_checkpoint(cfg.OUTPUT)
-        if latest is not None:
-            restored = ckpt.restore_checkpoint(latest, {"params": params, "epoch": 0})
-            params = restored["params"]
-            start_epoch = int(restored["epoch"]) + 1
-            logger.info(f"auto-resumed from {latest} at epoch {start_epoch}")
-
     n_iter = len(loader)
     schedule = build_schedule(cfg, max(n_iter, 1))
     tx = build_optimizer(cfg, params, schedule)
     opt_state = tx.init(params)
+
+    start_epoch = cfg.TRAIN.START_EPOCH
+    if cfg.TRAIN.AUTO_RESUME:
+        # the reference declares TRAIN.AUTO_RESUME but never reads it
+        # (config.py:105); here it actually resumes params AND optimizer
+        # state from the newest ckpt_epoch_* in OUTPUT (the reference's
+        # save payload includes the optimizer too, utils.py:375-385)
+        latest = ckpt.latest_checkpoint(cfg.OUTPUT)
+        if latest is not None:
+            template = {"params": params, "opt_state": opt_state, "epoch": 0}
+            try:
+                restored = ckpt.restore_checkpoint(latest, template)
+                opt_state = restored["opt_state"]
+            except Exception:  # older checkpoints without opt_state
+                restored = ckpt.restore_checkpoint(latest, {"params": params, "epoch": 0})
+            params = restored["params"]
+            start_epoch = int(restored["epoch"]) + 1
+            logger.info(f"auto-resumed from {latest} at epoch {start_epoch}")
 
     param_sh = batch_sh = None
     if mesh is not None:
@@ -139,7 +145,11 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         logger.info(f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(time.time() - epoch_start))}")
 
         if epoch % cfg.SAVE_FREQ == 0 or epoch == cfg.TRAIN.EPOCHS - 1:
-            ckpt.save_checkpoint(cfg.OUTPUT, epoch, {"params": params, "epoch": epoch})
+            # reference payload: model/optimizer/lr_scheduler/max_accuracy/
+            # epoch/config (utils.py:375-385); the schedule is a pure
+            # function of the step here, so opt_state + epoch cover it
+            ckpt.save_checkpoint(cfg.OUTPUT, epoch,
+                                 {"params": params, "opt_state": opt_state, "epoch": epoch})
 
         if eval_fn is not None:
             eval_fn(params, vit_cfg, epoch)
