@@ -129,3 +129,25 @@ def test_init_shapes():
     assert params["blocks"]["attn"]["wqkv"].shape == (3, 32, 96)
     x = jnp.asarray(_rand_img((1, 32, 32, 3)))
     assert vit.forward_cls(params, CFG, x).shape == (1, 32)
+
+
+def test_load_reference_format_trained_checkpoint(tmp_path, sd):
+    """The reference's save_checkpoint writes {model, optimizer, epoch, ...}
+    (utils.py:375-385); eval.py loads state_dict['model'] after prefix
+    stripping. The converter must handle that file format end-to-end."""
+    from vit_ocm_wmsegmentation_tpu.train.checkpoint import load_torch_checkpoint
+
+    payload = {
+        "model": {"module." + k: v for k, v in sd.items()},
+        "optimizer": {"state": {}},
+        "lr_scheduler": {},
+        "max_accuracy": 0.5,
+        "epoch": 7,
+        "config": {"TAG": "x"},
+    }
+    path = tmp_path / "ckpt_epoch_7.pth"
+    torch.save(payload, str(path))
+    params = load_torch_checkpoint(str(path), CFG, checkpoint_key="teacher")
+    direct = vit_params_from_torch(sd, CFG)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(direct)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
