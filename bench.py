@@ -21,6 +21,12 @@ import numpy as np
 
 def main():
     import jax
+
+    try:  # persistent compile cache: repeated driver runs skip recompiles
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl

@@ -12,3 +12,31 @@ fused into jitted XLA graphs, tile batches sharded over a `jax.sharding.Mesh`.
 """
 
 __version__ = "0.1.0"
+
+_SUBMODULES = (
+    "nn",
+    "pipeline",
+    "evaluation",
+    "native",
+    "models",
+    "ops",
+    "parallel",
+    "data",
+    "train",
+    "utils",
+)
+
+
+def __getattr__(name):
+    """Lazy submodule access: `import vit_ocm_wmsegmentation_tpu as ocm;
+    ocm.pipeline.segment_mosaic(...)` without importing jax at package
+    import time."""
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))
