@@ -44,6 +44,9 @@ def parse_args():
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     seeding(42)
     # frozen 12-block teacher (build_finetune_model, model.py:176-193)

@@ -177,6 +177,9 @@ def analyse_croped(args, params, cfg, img_path):
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     if isinstance(args.image_size, int):
         args.image_size = [args.image_size, args.image_size]

@@ -39,6 +39,9 @@ def parse_args():
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     create_dir(args.output_dir)
     logger = create_logger(args.output_dir, name=f"{args.arch}_{args.patch_size}")

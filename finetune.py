@@ -46,6 +46,9 @@ def parse_args():
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     seeding(42)
     cfg = probing.finetune_vit_config(args.H, args.patch_size)

@@ -52,6 +52,9 @@ def parse_option():
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     cfg = parse_option()
     logger = create_logger(cfg.DATA.OUTPUT_DIR, name=f"{cfg.MODEL.NAME}_{cfg.MODEL.PATCH_SIZE}")
     seeding(cfg.SEED)

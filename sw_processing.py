@@ -36,6 +36,9 @@ def parse_args():
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     size = tuple(args.image_size) if len(args.image_size) == 2 else (args.image_size[0],) * 2
     params, cfg, _ = load_model(args.arch, args.patch_size, args.pretrained_weights, args.checkpoint_key)

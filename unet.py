@@ -36,6 +36,9 @@ def parse_args():
 
 
 def main():
+    from vit_ocm_wmsegmentation_tpu.cli import enable_compile_cache
+
+    enable_compile_cache()
     args = parse_args()
     seeding(42)
     images = sorted(glob(args.image_path + "/images/*"))

@@ -15,6 +15,18 @@ from .models.vit import ARCHS, ViTConfig
 from .train.checkpoint import load_pretrained
 
 
+def enable_compile_cache(path: str = "/tmp/jax_cache"):
+    """Persistent XLA compile cache: repeated CLI invocations skip the
+    (remote, sometimes slow) compiles entirely. Safe no-op on failure."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+
 def build_vit_config(arch: str, patch_size: int) -> ViTConfig:
     if arch not in ARCHS:
         raise SystemExit(f"unknown arch {arch!r}; choices: {sorted(ARCHS)}")
