@@ -5,6 +5,7 @@ import pytest
 from PIL import Image
 
 import jax
+import jax.numpy as jnp
 
 from vit_ocm_wmsegmentation_tpu import evaluation
 from vit_ocm_wmsegmentation_tpu.data import build_eval_samples
@@ -92,3 +93,28 @@ def test_validate_batched_kmeans_matches(dataset, params):
     a1 = evaluation.validate(params, CFG, samples, method="k-means_ours")
     a2 = evaluation.validate(params, CFG, samples, method="k-means_ours", batch_size=2)
     np.testing.assert_allclose(a1, a2, atol=1e-6)
+
+
+def test_crop4_attention_matches_sequential_reference(dataset, params):
+    """crop=4 path == the reference's per-crop loop (eval.py:145-171):
+    per-quadrant attention, nearest x8, concat, /8 then x8 smoothing."""
+    import cv2
+
+    from vit_ocm_wmsegmentation_tpu.evaluation import _image_attention
+    from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+
+    sample = build_eval_samples(dataset, 64)[0]
+    got, _ = _image_attention(params, CFG, sample, crop=4, median_size=1)
+
+    h = w = 64
+    maps = []
+    for i in range(2):
+        for j in range(2):
+            crop = sample.image[i * 32 : (i + 1) * 32, j * 32 : (j + 1) * 32]
+            _, attns, _ = vit_mod.get_intermediate_feat(params, CFG, jnp.asarray(crop)[None], n=1)
+            a = np.asarray(attns[0][0, :, 0, 1:]).reshape(CFG.num_heads, 4, 4).mean(axis=0)
+            maps.append(np.repeat(np.repeat(a, 8, 0), 8, 1))  # nearest x8
+    recon = np.block([[maps[0], maps[1]], [maps[2], maps[3]]]).astype(np.float32)
+    down = cv2.resize(recon, (recon.shape[1] // 8, recon.shape[0] // 8))
+    want = cv2.resize(down, (w, h), interpolation=cv2.INTER_LINEAR)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
