@@ -151,3 +151,16 @@ def test_load_reference_format_trained_checkpoint(tmp_path, sd):
     direct = vit_params_from_torch(sd, CFG)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(direct)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_torch_conversion_round_trip(sd, params):
+    """params -> torch state_dict -> params is the identity; the exported
+    dict matches the original torch tensors."""
+    from vit_ocm_wmsegmentation_tpu.train.checkpoint import vit_params_to_torch
+
+    exported = vit_params_to_torch(params, CFG)
+    for k, v in exported.items():
+        np.testing.assert_allclose(v, sd[k].numpy(), atol=1e-7, err_msg=k)
+    back = vit_params_from_torch(exported, CFG, checkpoint_key=None)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

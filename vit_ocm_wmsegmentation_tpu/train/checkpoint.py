@@ -103,6 +103,45 @@ def vit_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str 
     return params
 
 
+def vit_params_to_torch(params, cfg: ViTConfig) -> dict:
+    """Inverse of :func:`vit_params_from_torch`: our pytree -> a timm-named
+    numpy state_dict (loadable by torch ViTs / the reference code), so
+    models trained here can flow back to the PyTorch ecosystem."""
+    d, L, p = cfg.embed_dim, cfg.depth, cfg.patch_size
+
+    def n(a):
+        return np.asarray(a, dtype=np.float32)
+
+    pe = n(params["patch_embed"]["kernel"]).reshape(p, p, 3, d).transpose(3, 2, 0, 1)
+    sd = {
+        "patch_embed.proj.weight": pe,
+        "patch_embed.proj.bias": n(params["patch_embed"]["bias"]),
+        "cls_token": n(params["cls_token"]),
+        "pos_embed": n(params["pos_embed"]),
+        "norm.weight": n(params["norm"]["scale"]),
+        "norm.bias": n(params["norm"]["bias"]),
+    }
+    if "mask_token" in params:
+        sd["mask_token"] = n(params["mask_token"])
+    b = params["blocks"]
+    for i in range(L):
+        pre = f"blocks.{i}."
+        sd[pre + "norm1.weight"] = n(b["norm1"]["scale"][i])
+        sd[pre + "norm1.bias"] = n(b["norm1"]["bias"][i])
+        sd[pre + "attn.qkv.weight"] = n(b["attn"]["wqkv"][i]).T
+        if "bqkv" in b["attn"]:
+            sd[pre + "attn.qkv.bias"] = n(b["attn"]["bqkv"][i])
+        sd[pre + "attn.proj.weight"] = n(b["attn"]["wo"][i]).T
+        sd[pre + "attn.proj.bias"] = n(b["attn"]["bo"][i])
+        sd[pre + "norm2.weight"] = n(b["norm2"]["scale"][i])
+        sd[pre + "norm2.bias"] = n(b["norm2"]["bias"][i])
+        sd[pre + "mlp.fc1.weight"] = n(b["mlp"]["w1"][i]).T
+        sd[pre + "mlp.fc1.bias"] = n(b["mlp"]["b1"][i])
+        sd[pre + "mlp.fc2.weight"] = n(b["mlp"]["w2"][i]).T
+        sd[pre + "mlp.fc2.bias"] = n(b["mlp"]["b2"][i])
+    return sd
+
+
 def load_torch_checkpoint(path: str, cfg: ViTConfig, checkpoint_key: str = "teacher"):
     """Load a .pth file (torch CPU) and convert. Raises if torch is missing."""
     import torch
