@@ -5,3 +5,23 @@ attention -> smooth -> blend -> threshold -> stitch post-processing chain of the
 reference (which round-trips GPU->CPU per image via cv2/skimage/sklearn) fuses
 into a single XLA graph on TPU.
 """
+
+from .attention import cls_row_attention, mha, mha_auto, mha_fused
+from .chan_vese import chan_vese
+from .clahe import adaptive_histogram_equalization, clahe
+from .cluster import kmeans2, kmeans_feature_mask, kmeans_mask_image, kmeans_mask_ours
+from .filters import median_filter
+from .flash_attention import flash_attention, flash_attention_trainable, mha_flash
+from .metrics import calculate_metrics, dice_bce_loss, dice_loss, roc_auc
+from .normalize import l1_normalize, l2_normalize, softmax_normalize, zscore_normalize
+from .resize import resize_bicubic_torch, resize_linear_cv2, smooth_attention, upsample_nearest
+from .stitch import concat_crops, concat_crops_overlap, extract_tiles, stitch_blended, tile_starts
+from .threshold import (
+    min_max_normalize,
+    otsu_binary_u8,
+    otsu_threshold_u8,
+    threshold_multiplicative,
+    threshold_ours,
+    yen_binary_u8,
+    yen_threshold_u8,
+)
