@@ -30,7 +30,7 @@ def test_cli_help(script):
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, script), "--help"],
-        capture_output=True, text=True, timeout=240, env=env,
+        capture_output=True, text=True, timeout=480, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
@@ -40,7 +40,7 @@ def test_sweep_dry_run():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
         [sys.executable, os.path.join(ROOT, "sweep.py"), os.path.join(ROOT, "eval.yaml"), "--dry_run"],
-        capture_output=True, text=True, timeout=240, env=env,
+        capture_output=True, text=True, timeout=480, env=env,
     )
     assert r.returncode == 0, r.stderr[-2000:]
     assert "4 runs over eval.py" in r.stdout
