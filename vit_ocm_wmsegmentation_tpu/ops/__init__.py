@@ -7,8 +7,8 @@ into a single XLA graph on TPU.
 """
 
 from .attention import cls_row_attention, mha, mha_auto, mha_fused
-from .chan_vese import chan_vese
-from .clahe import adaptive_histogram_equalization, clahe
+from . import chan_vese  # module, not the function: keeps `ops.chan_vese.chan_vese` importable
+from .clahe import adaptive_histogram_equalization
 from .cluster import kmeans2, kmeans_feature_mask, kmeans_mask_image, kmeans_mask_ours
 from .filters import median_filter
 from .flash_attention import flash_attention, flash_attention_trainable, mha_flash
