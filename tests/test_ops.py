@@ -297,3 +297,39 @@ def test_normalizers_match_reference_formulas():
     z = jnp.zeros((3, 3))
     np.testing.assert_array_equal(np.asarray(NM.l2_normalize(z)), np.zeros((3, 3)))
     np.testing.assert_array_equal(np.asarray(NM.zscore_normalize(z)), np.zeros((3, 3)))
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_otsu_fuzz_bit_exact(trial):
+    """Bit-exactness vs cv2 across many random histogram shapes: uniform,
+    bimodal, constant-ish, spike-heavy."""
+    rng = np.random.default_rng(100 + trial)
+    for _ in range(25):
+        kind = rng.integers(0, 4)
+        if kind == 0:
+            img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        elif kind == 1:
+            img = np.clip(np.where(rng.random((32, 32)) < rng.random(),
+                                   rng.normal(rng.integers(20, 100), 10, (32, 32)),
+                                   rng.normal(rng.integers(120, 240), 15, (32, 32))), 0, 255).astype(np.uint8)
+        elif kind == 2:
+            img = np.full((32, 32), rng.integers(0, 256), np.uint8)
+            img[rng.integers(0, 32, 5), rng.integers(0, 32, 5)] = rng.integers(0, 256)
+        else:
+            img = (rng.integers(0, 3, (32, 32)) * rng.integers(1, 120)).astype(np.uint8)
+        want_t, want_m = cv2.threshold(img, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        got_m, got_t = TH.otsu_binary_u8(jnp.asarray(img))
+        assert float(got_t) == want_t, (trial, kind, want_t, float(got_t))
+        np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+
+def test_blend_fuzz_bit_exact():
+    """The uint8 blend LUT equals the reference float64 chain everywhere."""
+    rng = np.random.default_rng(200)
+    for _ in range(10):
+        img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+        attn = (rng.random((24, 24)).astype(np.float32) * rng.uniform(1e-4, 10))
+        w_th, w_th2, w_th3 = _threshold_oracle(img, attn)
+        g_th, g_th2, g_th3 = TH.threshold_ours(jnp.asarray(img), jnp.asarray(attn))
+        np.testing.assert_array_equal(np.asarray(g_th), w_th)
+        np.testing.assert_array_equal(np.asarray(g_th3), w_th3)
