@@ -1,6 +1,7 @@
 """Tiling + blended stitching vs transliterated reference oracles."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from vit_ocm_wmsegmentation_tpu.ops import stitch as st
@@ -137,3 +138,16 @@ def test_concat_crops_overlap_matches_reference():
     want = _concat_crops_overlap_oracle(crops, stride=2)
     got = np.asarray(st.concat_crops_overlap(jnp.asarray(np.stack(crops), jnp.float32), stride=2))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+@pytest.mark.parametrize("window,stride", [(16, 8), (20, 5), (12, 6)])
+def test_stitch_blended_other_geometries(window, stride):
+    """window = k*stride for k=2..4, not just the paper's k=3."""
+    k = window // stride
+    n = 4
+    size = window + (n - 1) * stride
+    rng = np.random.default_rng(window * 100 + stride)
+    crops = [rng.random((window, window)).astype(np.float64) for _ in range(n * n)]
+    want = _concat_crops_blended_oracle(crops, stride, window)
+    got = np.asarray(st.stitch_blended(jnp.asarray(np.stack(crops), jnp.float32), window, stride, (size, size)))
+    np.testing.assert_allclose(got, want, atol=1e-5)

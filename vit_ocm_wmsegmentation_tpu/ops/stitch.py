@@ -29,16 +29,19 @@ import jax.numpy as jnp
 
 
 def tile_starts(size: int, window: int, stride: int) -> np.ndarray:
-    """Reference sliding_window geometry (sw_processing.py:151-163):
-    starts = range(0, size - 2*stride, stride). Assumes the window tiles the
-    mosaic exactly (size = window + k*stride), as the reference does."""
-    starts = np.arange(0, size - 2 * stride, stride)
-    if len(starts) == 0:
-        starts = np.array([0])
-    assert starts[-1] + window <= size, (
+    """Tile start offsets covering [0, size-window] at the given stride.
+
+    Identical to the reference sliding_window geometry
+    (sw_processing.py:151-163, starts = range(0, size - 2*stride, stride))
+    in its only supported configuration window == 3*stride — and, unlike
+    the reference formula, correct for any window/stride ratio (the
+    reference under-covers the right/bottom edge for other ratios). The
+    window must tile the span exactly; pad_mosaic arranges that.
+    """
+    assert (size - window) % stride == 0 and size >= window, (
         f"mosaic size {size} not tiled exactly by window {window} / stride {stride}; pad first"
     )
-    return starts
+    return np.arange(0, size - window + 1, stride)
 
 
 def extract_tiles(image, ys, xs, window: int):
