@@ -164,3 +164,12 @@ def test_torch_conversion_round_trip(sd, params):
     back = vit_params_from_torch(exported, CFG, checkpoint_key=None)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_get_intermediate_layers_matches_feats(params):
+    """get_intermediate_layers (:248-256) returns the same normed tokens as
+    get_intermediate_feat's feats."""
+    x = jnp.asarray(_rand_img((1, 32, 32, 3), seed=9))
+    layers = vit.get_intermediate_layers(params, CFG, x, n=2)
+    feats, _, _ = vit.get_intermediate_feat(params, CFG, x, n=2)
+    np.testing.assert_allclose(np.asarray(layers), np.asarray(feats), atol=1e-6)
