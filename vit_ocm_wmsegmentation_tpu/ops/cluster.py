@@ -31,12 +31,14 @@ def _lloyd(points, centers, iters):
     return jnp.argmin(d, axis=-1), centers
 
 
-def _candidate_inits(points):
+def _candidate_inits(points, max_axis_splits=8):
     """Deterministic restart set replacing cv2/sklearn's random restarts:
 
     * farthest-point pair (min-sum point and the point farthest from it);
-    * per-axis splits: means of the below/above-median halves along each
+    * per-axis splits: means of the below/above-median halves along a
       coordinate (covers the axis-aligned local optima of multimodal data).
+      Only the ``max_axis_splits`` highest-variance axes are tried so the
+      restart count stays bounded for high-dimensional features.
     Returns (R, 2, D).
     """
     c0 = points[jnp.argmin(jnp.sum(points, axis=-1))]
@@ -44,7 +46,12 @@ def _candidate_inits(points):
     inits = [jnp.stack([c0, c1])]
     med = jnp.median(points, axis=0)
     n, d = points.shape
-    for ax in range(d):
+    if d <= max_axis_splits:
+        axes = range(d)
+    else:
+        var = jnp.var(points, axis=0)
+        axes = jnp.argsort(-var)[:max_axis_splits]
+    for ax in axes:
         lo = points[:, ax] <= med[ax]
         wlo = lo.astype(points.dtype)[:, None]
         mlo = jnp.sum(points * wlo, axis=0) / jnp.maximum(jnp.sum(wlo), 1.0)
