@@ -80,3 +80,16 @@ def test_trunc_normal_bounds():
     vals = np.asarray(nn.trunc_normal(jax.random.PRNGKey(0), (10000,), std=0.02))
     assert abs(vals).max() <= 2.0 + 1e-6  # clipped at [-2, 2] like dino/utils.py:482-520
     assert 0.015 < vals.std() < 0.025
+
+
+def test_conv_transpose_matches_torch_via_converter():
+    rng = np.random.default_rng(5)
+    x = rng.random((1, 5, 5, 4)).astype(np.float32)
+    m = torch.nn.ConvTranspose2d(4, 6, kernel_size=2, stride=2)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    from vit_ocm_wmsegmentation_tpu.train.checkpoint import _conv_transpose_from_torch
+
+    params = _conv_transpose_from_torch({"up.weight": m.weight, "up.bias": m.bias}, "up")
+    got = np.asarray(nn.conv_transpose2d(params, jnp.asarray(x), stride=2)).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-5)
