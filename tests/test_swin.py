@@ -70,3 +70,28 @@ def test_relative_position_index_properties():
     assert idx.shape == (16, 16)
     assert idx.max() == 7 * 7 - 1 and idx.min() == 0
     assert (np.diag(idx) == idx[0, 0]).all()  # self-offsets share one bias
+
+
+def test_full_swin_tiny_structure_matches_hf():
+    """All 4 stages + 3 patch-merges of the real swin-tiny topology (small
+    image keeps the CPU compile tractable; HF shrinks windows to the stage
+    resolution exactly like our min(window, res))."""
+    from transformers import SwinConfig as HFConfig, SwinForImageClassification
+
+    # window 4 at 128^2 keeps window <= resolution at every stage (this
+    # transformers version cannot run window > stage resolution); all 4
+    # stages, 3 patch-merges and the shifted-window paths are exercised
+    hf_cfg = HFConfig(image_size=128, patch_size=4, embed_dim=24, depths=[2, 2, 6, 2],
+                      num_heads=[3, 6, 12, 24], window_size=4, num_labels=4,
+                      hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+                      drop_path_rate=0.0)
+    torch.manual_seed(1)
+    model = SwinForImageClassification(hf_cfg).eval()
+    cfg = swin.SwinConfig(img_size=128, patch_size=4, embed_dim=24, depths=(2, 2, 6, 2),
+                          num_heads=(3, 6, 12, 24), window=4, num_classes=4)
+    params = swin.params_from_hf(model.state_dict(), cfg)
+    x = np.random.default_rng(2).random((1, 128, 128, 3), dtype=np.float32)
+    with torch.no_grad():
+        want = model(torch.from_numpy(x.transpose(0, 3, 1, 2))).logits.numpy()
+    got = np.asarray(swin.apply(params, cfg, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, atol=5e-5)
