@@ -145,22 +145,38 @@ class SimMIMTransform:
 
 def build_simmim_loader(image_path: str, batch_size: int, img_size: int, mask_patch_size: int,
                         model_patch_size: int, mask_ratio: float, roi_masking: bool = False,
-                        seed: int = 0, drop_last: bool = True) -> "Loader":
+                        seed: int = 0, drop_last: bool = True, cache_images: bool = True) -> "Loader":
     paths = list_images(image_path)
     transform = SimMIMTransform(img_size, mask_patch_size, model_patch_size, mask_ratio, roi_masking)
-    return Loader(paths, transform, batch_size, seed=seed, drop_last=drop_last)
+    return Loader(paths, transform, batch_size, seed=seed, drop_last=drop_last, cache_images=cache_images)
 
 
 class Loader:
     """Minimal epoch-based loader: per-item PIL decode + transform, stacked
-    into device-ready numpy batches. Deterministic per (seed, epoch)."""
+    into device-ready numpy batches. Deterministic per (seed, epoch).
 
-    def __init__(self, paths, transform, batch_size, seed=0, drop_last=True):
+    ``cache_images=True`` decodes each file once and keeps the PIL image in
+    RAM (augmentation still reruns per epoch) — on hosts with few cores the
+    jpeg decode dominates epoch time otherwise. OCM pretraining sets fit
+    comfortably (the reference's is ~600 tiles).
+    """
+
+    def __init__(self, paths, transform, batch_size, seed=0, drop_last=True, cache_images=False):
         self.paths = list(paths)
         self.transform = transform
         self.batch_size = batch_size
         self.seed = seed
         self.drop_last = drop_last
+        self._cache = {} if cache_images else None
+
+    def _open(self, path):
+        if self._cache is None:
+            return Image.open(path)
+        if path not in self._cache:
+            img = Image.open(path)
+            img.load()
+            self._cache[path] = img
+        return self._cache[path]
 
     def __len__(self):
         n = len(self.paths) // self.batch_size
@@ -181,7 +197,7 @@ class Loader:
                     # reference's swallow-errors __getitem__ (data.py:67-80)
                     # returns (None, None) and crashes later; skipping keeps
                     # batch shapes static for jit
-                    img = Image.open(self.paths[i])
+                    img = self._open(self.paths[i])
                     arr, mask = self.transform(img, rng)
                 except Exception as e:
                     print(f"Error reading image: {self.paths[i]} ({e}); skipping")
