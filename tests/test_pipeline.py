@@ -88,3 +88,27 @@ def test_segment_single_ours_matches_threshold_chain():
 
     want, _, _ = threshold_ours(jnp.asarray(img), jnp.asarray(attn[0]))
     np.testing.assert_array_equal(np.asarray(masks[0]), np.asarray(want))
+
+
+def test_attention_heads_matches_compute_attention():
+    """attention_heads == per-head nearest-x8 maps (compute_attention,
+    utils.py:229-235) derived from the materialized last-block attention."""
+    params = _params()
+    img = _mosaic(4)[:48, :48]
+    x = jnp.asarray(img.astype(np.float32) / 255.0)
+    x = jnp.broadcast_to(x[None, :, :, None], (1, 48, 48, 3))
+    heads = np.asarray(pl.attention_heads(params, CFG, x))[0]
+    _, attns, _ = vit.get_intermediate_feat(params, CFG, x, n=1)
+    want = np.asarray(attns[0][0, :, 0, 1:]).reshape(CFG.num_heads, 6, 6)
+    want = np.repeat(np.repeat(want, 8, 1), 8, 2)
+    np.testing.assert_allclose(heads, want, atol=1e-6)
+
+
+def test_pad_mosaic_odd_sizes():
+    """Odd mosaics pad to the window/stride grid and crop back (the
+    reference crashes on non-exact sizes)."""
+    params = _params()
+    img = _mosaic(5)[:130, :117]  # deliberately awkward size
+    mask, attn = pl.segment_mosaic(params, CFG, jnp.asarray(img), window=48, stride=16)
+    assert mask.shape == (130, 117) and attn.shape == (130, 117)
+    assert np.isfinite(np.asarray(attn)).all()
