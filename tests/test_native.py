@@ -1,5 +1,7 @@
 """Native C++ kernels vs scipy/cv2 oracles."""
 
+import os
+
 import numpy as np
 import pytest
 import scipy.ndimage as ndi
@@ -96,3 +98,25 @@ def test_morphology_ops_use_native_consistently():
     np.testing.assert_array_equal(labels > 0, want > 0)
     pts = M.region_centroids(labels)
     assert len(pts) == wn
+
+
+def test_native_lib_builds_from_source(tmp_path):
+    """The ctypes loader builds libocm_native.so with make on first use."""
+    import subprocess
+    import sys
+
+    code = (
+        "import os, vit_ocm_wmsegmentation_tpu.native as n;"
+        "os.path.exists(n._LIB_PATH) or None;"
+        "print(n.available())"
+    )
+    # remove the artifact, then let a fresh interpreter rebuild it
+    import vit_ocm_wmsegmentation_tpu.native as native_mod
+
+    so = native_mod._LIB_PATH
+    if os.path.exists(so):
+        os.remove(so)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "True" in r.stdout, r.stderr[-500:]
+    assert os.path.exists(so)
+
