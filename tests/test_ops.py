@@ -195,6 +195,24 @@ def test_kmeans_feature_matches_sklearn_partition():
     assert agree > 0.995
 
 
+def test_kmeans_feature_polarity_is_unsupervised_bright_foreground():
+    """With gray_u8 given, the cluster whose pixels are brighter must come
+    out as 255 regardless of which label Lloyd assigned it — the documented
+    replacement for the reference's arbitrary sklearn polarity. No label is
+    consulted (the function has no label argument at all)."""
+    rng = np.random.default_rng(21)
+    feats = np.zeros((20, 20, 8), np.float32)
+    feats[:, :10] = rng.normal(0, 0.1, (20, 10, 8)) + 2.0
+    feats[:, 10:] = rng.normal(0, 0.1, (20, 10, 8)) - 2.0
+    gray = np.zeros((20, 20), np.uint8)
+    gray[:, :10] = 220  # left half bright -> must be foreground
+    out = np.asarray(cluster.kmeans_feature_mask(jnp.asarray(feats), jnp.asarray(gray)))
+    assert (out[:, :10] == 255).all() and (out[:, 10:] == 0).all()
+    # flip which side is bright: polarity must follow the image, feats fixed
+    out2 = np.asarray(cluster.kmeans_feature_mask(jnp.asarray(feats), jnp.asarray(255 - gray)))
+    assert (out2[:, :10] == 0).all() and (out2[:, 10:] == 255).all()
+
+
 # ---------------------------------------------------------------------------
 # chan-vese (behavioral: no skimage in this image)
 # ---------------------------------------------------------------------------

@@ -12,7 +12,10 @@ from vit_ocm_wmsegmentation_tpu.ops import stitch as st
 from vit_ocm_wmsegmentation_tpu.train.checkpoint import vit_params_from_torch
 
 from torch_oracle import make_vit_state_dict
-from test_stitch import _concat_crops_blended_oracle, _sliding_window_oracle
+from stitch_oracle import (
+    concat_crops_blended_oracle as _concat_crops_blended_oracle,
+    sliding_window_oracle as _sliding_window_oracle,
+)
 
 CFG = vit.ViTConfig(patch_size=8, embed_dim=32, depth=3, num_heads=2, pretrain_img_size=32)
 WINDOW, STRIDE, SIZE = 48, 16, 144  # k=3 geometry, tiles are 6x6 patch grids

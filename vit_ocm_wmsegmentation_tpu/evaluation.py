@@ -68,13 +68,15 @@ def apply_method(img_u8, attention, method: str):
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def feature_clustering_mask(params, cfg, x):
+def feature_clustering_mask(params, cfg, x, gray_u8):
     """k-means_feature_clustering (eval.py:186-202): bilinear-upsampled
-    last-block keys, z-scored, 2-means -> {0,255} label map."""
+    last-block keys, z-scored, 2-means -> {0,255} label map. Polarity is
+    oriented unsupervised by mean gray intensity (see kmeans_feature_mask);
+    the ground-truth label is never consulted."""
     b, h, w, _ = x.shape
     k = vit.last_block_key_features(params, cfg, x)[0]  # (gh, gw, D)
     up = resize_linear_cv2(jnp.moveaxis(k, -1, 0), (h, w))  # (D, H, W)
-    return cluster.kmeans_feature_mask(jnp.moveaxis(up, 0, -1))
+    return cluster.kmeans_feature_mask(jnp.moveaxis(up, 0, -1), gray_u8)
 
 
 @jax.jit
@@ -174,17 +176,11 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
     for idx, sample in enumerate(samples):
         attn, gray = _image_attention(params, cfg, sample, crop, median_size)
         if method == "k-means_feature_clustering":
-            output = feature_clustering_mask(params, cfg, jnp.asarray(sample.image)[None])
+            output = feature_clustering_mask(params, cfg, jnp.asarray(sample.image)[None], gray)
         else:
             output = apply_method(gray, attn, method)
         target = jnp.asarray(sample.label)
         loss, mets = score_pair(output, target)
-        if method == "k-means_feature_clustering":
-            # cluster ids are arbitrary (reference: whichever sklearn picked);
-            # score the better polarity
-            loss2, mets2 = score_pair(jnp.uint8(255) - output, target)
-            if float(loss2) < float(loss):
-                loss, mets = loss2, mets2
         jac, f1, rec, prec, acc = (float(m) for m in mets)
         meters["loss"].update(float(loss), 1)
         meters["acc"].update(acc, 1)

@@ -153,9 +153,10 @@ def prepare_tokens(params, cfg: ViTConfig, x):
 def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto"):
     """One pre-norm transformer block (vision_transformer.py:94-114).
 
-    impl: "auto" (Pallas flash on TPU — inference only, no VJP yet),
-    "chunked" (streaming-softmax XLA path, differentiable — training),
-    "materialize" (full attention matrix, used by the extraction paths).
+    impl: "auto" (Pallas flash on TPU, differentiable via the custom VJP in
+    ops/flash_attention.py; XLA fallback elsewhere), "chunked"
+    (streaming-softmax XLA path, differentiable), "materialize" (full
+    attention matrix, used by the extraction paths).
     """
     h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
     if impl == "auto":

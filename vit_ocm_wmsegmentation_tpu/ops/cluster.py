@@ -114,14 +114,18 @@ def kmeans_mask_image(img_u8):
     return mask
 
 
-def kmeans_feature_mask(features):
+def kmeans_feature_mask(features, gray_u8=None):
     """kmeans_feature (utils.py:171-197): z-score the per-pixel feature
     vectors (torch unbiased std), 2-means, return the {0,255} label map.
 
     features: (H, W, D) — typically bilinearly-upsampled last-block keys
-    (eval.py:186-202). Cluster identity is arbitrary (sklearn's is too); the
-    eval harness scores both polarities and keeps the better, because the
-    reference's metric depends on which cluster got label 1 by chance.
+    (eval.py:186-202). Cluster identity is arbitrary in the reference
+    (whichever label sklearn's random init assigned). Documented delta:
+    when ``gray_u8`` (H, W) is given, polarity is fixed by an unsupervised
+    rule — the cluster whose pixels have the higher mean gray intensity
+    becomes foreground (255), matching the bright-is-foreground convention
+    cv2.THRESH_BINARY Otsu implies everywhere else in the pipeline. No
+    ground-truth label is consulted.
     """
     h, w, d = features.shape
     pts = features.reshape(-1, d).astype(jnp.float32)
@@ -129,4 +133,11 @@ def kmeans_feature_mask(features):
     std = jnp.std(pts, axis=0, ddof=1)
     pts = (pts - mean) / jnp.maximum(std, 1e-12)
     labels, _ = kmeans2(pts, iters=30)
-    return labels.reshape(h, w).astype(jnp.uint8) * jnp.uint8(255)
+    labels = labels.reshape(h, w)
+    if gray_u8 is not None:
+        g = gray_u8.astype(jnp.float32).reshape(h, w)
+        on = labels.astype(jnp.float32)
+        m1 = jnp.sum(g * on) / jnp.maximum(jnp.sum(on), 1.0)
+        m0 = jnp.sum(g * (1 - on)) / jnp.maximum(jnp.sum(1 - on), 1.0)
+        labels = jnp.where(m1 >= m0, labels, 1 - labels)
+    return labels.astype(jnp.uint8) * jnp.uint8(255)

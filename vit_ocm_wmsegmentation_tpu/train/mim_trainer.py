@@ -31,7 +31,7 @@ from .schedule import build_schedule
 
 
 def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None, remat=False):
-    """Compiled MIM step: (params, opt_state, step_idx, x, mask) ->
+    """Compiled MIM step: (params, opt_state, x, mask) ->
     (params, opt_state, loss, grad_norm)."""
 
     def loss_fn(params, x, mask):
