@@ -46,7 +46,7 @@ def main():
     create_dir(args.output_dir)
     logger = create_logger(args.output_dir, name=f"{args.arch}_{args.patch_size}")
     seeding(0)
-    wandb, use_wandb = get_wandb(bool(args.wandb))
+    wandb, use_wandb = get_wandb(bool(args.wandb), output_dir=args.output_dir)
     if use_wandb:
         wandb.init(project="temp2", name=f"{args.method}_{args.crop}", config=vars(args))
 

@@ -58,7 +58,7 @@ def main():
     cfg = parse_option()
     logger = create_logger(cfg.DATA.OUTPUT_DIR, name=f"{cfg.MODEL.NAME}_{cfg.MODEL.PATCH_SIZE}")
     seeding(cfg.SEED)
-    wandb, use_wandb = get_wandb(bool(cfg.WANDB))
+    wandb, use_wandb = get_wandb(bool(cfg.WANDB), output_dir=cfg.DATA.OUTPUT_DIR)
     if use_wandb:
         wandb.init(project="mim", name=f"{cfg.TAG}_{cfg.DATA.IMG_SIZE}_{cfg.DATA.BATCH_SIZE}B", config=dict(cfg))
 

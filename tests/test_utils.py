@@ -38,6 +38,30 @@ def test_wandb_shim_noop():
     wandb.init(project="x")  # all no-ops
     wandb.log({"a": 1})
     wandb.Image(np.zeros((2, 2)))
+
+
+def test_wandb_shim_writes_offline_panels(tmp_path):
+    """With wandb requested but not installed, the shim persists scalars to
+    JSONL and wandb.Image panels as PNGs — observability parity with the
+    reference's W&B image logging (mim.py:200-220, eval.py:258-282)."""
+    import json
+
+    from PIL import Image
+
+    wandb, enabled = get_wandb(True, output_dir=str(tmp_path))
+    assert enabled  # file-backed: callers log the full panel set
+    wandb.init(project="x")
+    wandb.log(
+        {"loss": 0.5,
+         "Masks": [wandb.Image(np.random.rand(8, 8), caption="Input"),
+                   wandb.Image(np.zeros((8, 8)), caption="Mask")]},
+        step=3,
+    )
+    rec = json.loads((tmp_path / "wandb_offline.jsonl").read_text().strip())
+    assert rec == {"step": 3, "loss": 0.5}
+    pngs = sorted(p.name for p in (tmp_path / "wandb_images" / "step3").iterdir())
+    assert pngs == ["Masks_Input.png", "Masks_Mask.png"]
+    assert Image.open(tmp_path / "wandb_images" / "step3" / "Masks_Input.png").size == (8, 8)
     wandb.finish()
 
 

@@ -121,7 +121,25 @@ def _batched_eval_step(params, cfg, images, grays, targets, method, median_size)
     attn = attention_map_rgb(params, cfg, images, median_size)
     outputs = jax.vmap(lambda g, a: apply_method(g, a, method))(grays, attn)
     losses, mets = jax.vmap(score_pair)(outputs, targets)
-    return losses, mets
+    return losses, mets, outputs, attn
+
+
+def _log_image_panels(wandb, meters, sample, output, attn, epoch):
+    """The reference's per-image W&B panel set (eval.py:258-282):
+    input / target / output / attention, alongside the running metrics."""
+    wandb.log(
+        {"Loss": meters["loss"].val, "Dice": 1 - meters["loss"].avg,
+         "Acc": meters["acc"].avg, "f1": meters["f1"].avg,
+         "precision": meters["precision"].avg, "recall": meters["recall"].avg,
+         "jaccard": meters["jaccard"].avg,
+         "input_images": [
+             wandb.Image(np.asarray(sample.gray), caption="Input Image"),
+             wandb.Image(np.asarray(sample.label), caption="Target"),
+             wandb.Image(np.asarray(output), caption="Output"),
+             wandb.Image(np.asarray(attn, dtype=np.float32), caption="Attention"),
+         ]},
+        step=epoch,
+    )
 
 
 def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
@@ -150,7 +168,7 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
             images = jnp.asarray(np.stack([s.image for s in chunk]))
             grays = jnp.asarray(np.stack([s.gray for s in chunk]))
             targets = jnp.asarray(np.stack([s.label for s in chunk]))
-            losses, mets = _batched_eval_step(params, cfg, images, grays, targets, method, median_size)
+            losses, mets, outputs, attns = _batched_eval_step(params, cfg, images, grays, targets, method, median_size)
             losses, mets = np.asarray(losses), np.asarray(mets)
             for b in range(len(chunk)):
                 jac, f1, rec, prec, acc = mets[b]
@@ -161,6 +179,8 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
                 meters["recall"].update(float(rec), 1)
                 meters["jaccard"].update(float(jac), 1)
                 meters["time"].update((time.time() - end) / len(chunk))
+                if wandb is not None:
+                    _log_image_panels(wandb, meters, chunk[b], outputs[b], attns[b], epoch)
                 idx += 1
             end = time.time()
         if logger:
@@ -189,6 +209,8 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
         meters["recall"].update(rec, 1)
         meters["jaccard"].update(jac, 1)
         meters["time"].update(time.time() - end)
+        if wandb is not None:
+            _log_image_panels(wandb, meters, sample, output, attn, epoch)
         end = time.time()
         if logger and idx % print_freq == 0:
             m = meters

@@ -21,6 +21,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models import simmim
@@ -65,7 +66,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     from ..utils.wandb_shim import get_wandb
 
     logger = logger or create_logger(cfg.OUTPUT, name=f"{cfg.MODEL.NAME}_{cfg.MODEL.PATCH_SIZE}")
-    wandb, use_wandb = get_wandb(use_wandb or cfg.WANDB)
+    wandb, use_wandb = get_wandb(use_wandb or cfg.WANDB, output_dir=cfg.OUTPUT)
 
     vit_cfg = simmim.mim_vit_config(cfg.DATA.IMG_SIZE, cfg.MODEL.PATCH_SIZE)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))
@@ -143,6 +144,28 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
                     wandb.log({"epoch": epoch, "train_loss": loss_meter.val,
                                "train_loss_avg": loss_meter.avg, "lr": lr}, step=epoch)
         logger.info(f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(time.time() - epoch_start))}")
+
+        if use_wandb and loss_meter.count > 0:
+            # the reference's per-epoch mask/reconstruction panel set
+            # (mim.py:204-220): input, mask, masked input, reconstruction,
+            # masked reconstruction, complete reconstruction — first sample,
+            # channel 0. One extra forward on the epoch's last batch.
+            x_last = jnp.asarray(img)
+            m_last = jnp.asarray(mask)
+            _, x_rec, pix_mask = jax.jit(simmim.mim_loss, static_argnames=("cfg",))(
+                params, vit_cfg, x_last, m_last)
+            inp = np.asarray(x_last[0, :, :, 0])
+            pm = np.asarray(pix_mask[0, :, :, 0])
+            rec = np.asarray(x_rec[0, :, :, 0], dtype=np.float32)
+            masked_input = inp * (1 - pm)
+            wandb.log({"Masks": [
+                wandb.Image(inp, caption="Input"),
+                wandb.Image(pm, caption="Mask"),
+                wandb.Image(masked_input, caption="Masked Input"),
+                wandb.Image(rec, caption="Reconstruction"),
+                wandb.Image(rec * pm, caption="Masked Reconstruction"),
+                wandb.Image(rec * pm + masked_input, caption="Complete Reconstruction"),
+            ]}, step=epoch)
 
         if epoch % cfg.SAVE_FREQ == 0 or epoch == cfg.TRAIN.EPOCHS - 1:
             # reference payload: model/optimizer/lr_scheduler/max_accuracy/
