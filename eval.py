@@ -53,7 +53,7 @@ def main():
     image_size = args.image_size[0] if isinstance(args.image_size, list) else args.image_size
     if not args.eval_dataset_path:
         raise SystemExit("Please use the `--eval_dataset_path` argument to indicate the dataset path.")
-    samples = build_eval_samples(args.eval_dataset_path, image_size)
+    samples = build_eval_samples(args.eval_dataset_path, image_size, crop=int(args.crop))
     print(f"images: {len(samples)}")
 
     params, cfg, _ = load_model(args.arch, args.patch_size, args.pretrained_weights, args.checkpoint_key)

@@ -64,7 +64,7 @@ def test_validate_otsu_segments_synthetic_square(dataset, params):
 
 
 def test_validate_crop4(dataset, params):
-    samples = build_eval_samples(dataset, 32)
+    samples = build_eval_samples(dataset, 32, crop=4)
     acc, f1, loss = evaluation.validate(params, CFG, samples, method="ours", crop=4)
     assert 0.0 <= acc <= 1.0
 
@@ -103,14 +103,14 @@ def test_crop4_attention_matches_sequential_reference(dataset, params):
     from vit_ocm_wmsegmentation_tpu.evaluation import _image_attention
     from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
 
-    sample = build_eval_samples(dataset, 64)[0]
+    sample = build_eval_samples(dataset, 64, crop=4)[0]
     got, _ = _image_attention(params, CFG, sample, crop=4, median_size=1)
 
     h = w = 64
     maps = []
     for i in range(2):
         for j in range(2):
-            crop = sample.image[i * 32 : (i + 1) * 32, j * 32 : (j + 1) * 32]
+            crop = sample.crop_image[i * 32 : (i + 1) * 32, j * 32 : (j + 1) * 32]
             _, attns, _ = vit_mod.get_intermediate_feat(params, CFG, jnp.asarray(crop)[None], n=1)
             a = np.asarray(attns[0][0, :, 0, 1:]).reshape(CFG.num_heads, 4, 4).mean(axis=0)
             maps.append(np.repeat(np.repeat(a, 8, 0), 8, 1))  # nearest x8
@@ -118,3 +118,27 @@ def test_crop4_attention_matches_sequential_reference(dataset, params):
     down = cv2.resize(recon, (recon.shape[1] // 8, recon.shape[0] // 8))
     want = cv2.resize(down, (w, h), interpolation=cv2.INTER_LINEAR)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-5)
+
+
+def test_crop_source_matches_reference_pil_flow(dataset):
+    """crop>1 preprocessing == AIP_Croped_Labeled_Dataset exactly
+    (data.py:97-122): grid crops cut from the PIL-DEFAULT (bicubic) resize
+    of the source, and the thresholding gray is the re-assembled bicubic
+    image converted to L. PIL itself is the oracle here."""
+    samples = build_eval_samples(dataset, 48, crop=4)
+    for sample in samples:
+        img = Image.open(sample.path).convert("RGB")
+        to_be_croped = img.copy().resize((48, 48))  # PIL default filter
+        ref_crops = []
+        w = h = 48 // 2
+        for i in range(2):
+            for j in range(2):
+                x = to_be_croped.crop((j * w, i * h, (j + 1) * w, (i + 1) * h))
+                # croped_transform: NEAREST resize to the same size (identity) + ToTensor
+                ref_crops.append(np.asarray(x, np.float32) / 255.0)
+        ours = sample.crop_image.reshape(2, 24, 2, 24, 3).transpose(0, 2, 1, 3, 4).reshape(4, 24, 24, 3)
+        for a, b in zip(ours, ref_crops):
+            np.testing.assert_array_equal(a, b)
+        # eval.py:160-167: img = concat_crops(crops channel 0) -> convert L
+        np.testing.assert_array_equal(
+            sample.crop_gray, np.asarray(to_be_croped.convert("L")))

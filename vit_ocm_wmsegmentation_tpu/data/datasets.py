@@ -52,11 +52,19 @@ class EvalSample:
     gray: np.ndarray  # uint8 (H, W)
     label: np.ndarray  # float32 (H, W) in [0,1]
     path: str
+    # crop>1 only: the reference re-opens the source and resizes it with
+    # PIL's DEFAULT filter (bicubic) before grid-cropping
+    # (data.py:99-102: img.copy().resize((image_size, image_size))), so the
+    # grid source differs from the NEAREST-resized eval image.
+    crop_image: np.ndarray | None = None  # float32 (H, W, 3) in [0,1]
+    crop_gray: np.ndarray | None = None  # uint8 (H, W)
 
 
-def build_eval_samples(eval_dataset_path: str, image_size: int) -> list[EvalSample]:
+def build_eval_samples(eval_dataset_path: str, image_size: int, crop: int = 1) -> list[EvalSample]:
     """build_eval_loader semantics (data.py:282-306): images/ and labels/
-    subfolders, NEAREST resize to the square image_size."""
+    subfolders, NEAREST resize to the square image_size. With crop>1 the
+    bicubic grid source of AIP_Croped_Labeled_Dataset (data.py:97-122) is
+    loaded alongside."""
     images = sorted(glob(eval_dataset_path + "/images/*"))
     labels = sorted(glob(eval_dataset_path + "/labels/*"))
     assert len(images) == len(labels), f"{len(images)} images vs {len(labels)} labels"
@@ -65,7 +73,12 @@ def build_eval_samples(eval_dataset_path: str, image_size: int) -> list[EvalSamp
         rgb = load_rgb_resized(ip, (image_size, image_size))
         gray = load_gray_resized(ip, (image_size, image_size))
         lab = Image.open(lp).convert("L").resize((image_size, image_size), Image.Resampling.NEAREST)
-        out.append(EvalSample(rgb, gray, np.asarray(lab, np.float32) / 255.0, ip))
+        crop_rgb = crop_gray = None
+        if crop > 1:
+            crop_rgb = load_rgb_resized(ip, (image_size, image_size), Image.Resampling.BICUBIC)
+            crop_gray = load_gray_resized(ip, (image_size, image_size), Image.Resampling.BICUBIC)
+        out.append(EvalSample(rgb, gray, np.asarray(lab, np.float32) / 255.0, ip,
+                              crop_rgb, crop_gray))
     return out
 
 

@@ -93,25 +93,26 @@ def _image_attention(params, cfg, sample, crop: int, median_size: int):
     """Smoothed attention for one sample, crop==1 or grid-crop variant
     (eval.py:135-171). Returns (attention (H,W), gray_u8 (H,W)).
 
-    crop>1 delta: the reference re-opens the source image and resizes it
-    with PIL's default filter before cropping the grid
-    (data.py:97-122); here the grid is cut from the NEAREST-resized eval
-    image (one host decode per sample). Interpolation-filter difference
-    only; the crops and the ViT math are identical.
+    crop>1 matches AIP_Croped_Labeled_Dataset exactly (data.py:97-122): the
+    grid is cut from the PIL-default (bicubic) resize of the source image
+    (sample.crop_image), and the gray used for thresholding is the
+    re-assembled bicubic image converted to L (eval.py:160-167) — which, for
+    exactly-tiling grids, is the bicubic image itself.
     """
     h, w = sample.gray.shape
     if crop == 1:
         attn = attention_map_rgb(params, cfg, jnp.asarray(sample.image)[None], median_size)[0]
         return attn, jnp.asarray(sample.gray)
+    assert sample.crop_image is not None, "crop>1 needs build_eval_samples(..., crop=crop)"
     g = int(np.sqrt(crop))
     ch, cw = h // g, w // g
-    tiles = jnp.asarray(sample.image).reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
+    tiles = jnp.asarray(sample.crop_image).reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
     grids = head_average_attention(params, cfg, tiles, median_size)  # (T, gh, gw)
     p = cfg.patch_size
     maps = jax.vmap(lambda gr: jnp.repeat(jnp.repeat(gr, p, 0), p, 1))(grids)
     recon = concat_crops(maps)
     attn = smooth_attention(recon[::p, ::p], p, (h, w))
-    return attn, jnp.asarray(sample.gray)
+    return attn, jnp.asarray(sample.crop_gray)
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "median_size"))
