@@ -129,8 +129,8 @@ def main():
     im = Image.fromarray(ref_sw.concat_crops(tiles, 128, 384)).convert("RGB")
     average_crops = []
     for j, crop in enumerate(tiles):
-        x = np.asarray(crop.convert("RGB"), np.uint8).transpose(2, 0, 1)[None]
-        xt = torch.from_numpy(x.astype(np.float32) / 255.0)
+        # crop: (384, 384, 3) uint8 ndarray; ToTensor semantics (HWC/255 -> CHW)
+        xt = torch.from_numpy(crop.transpose(2, 0, 1)[None].astype(np.float32) / 255.0)
         with torch.no_grad():
             _, attentions, _ = model.get_intermediate_feat(xt, n=1)
         att, _nh = ref_compute_attention(attentions, 0, 48, 48, 8)

@@ -4,18 +4,39 @@ Why: at 384^2 tiles the token count is N=2305, and XLA's dot-softmax-dot
 materializes (B, h, N, N) float32 logits in HBM (~2.8 GB per 512-row chunk
 for the 49-tile mosaic batch) — the pipeline is HBM-bandwidth bound. This
 kernel keeps everything in VMEM: each program loads one q block plus the
-full K/V for its (batch, head) slice (N*d*4B ~ 0.6 MB each — ViT sequence
-lengths fit VMEM comfortably), computes the (block_q, N) softmax in f32 on
-the fly, and writes only the (block_q, d) output. No N^2 HBM traffic.
+full K/V for its (batch, head) slice (N*d*2B ~ 0.3 MB each in bf16 — ViT
+sequence lengths fit VMEM comfortably), computes the (block_q, N) softmax
+in f32 on the fly, and writes only the (block_q, d) output. No N^2 HBM
+traffic.
+
+Performance design (v5e): with d=64 both dots run at half MXU utilization
+(s-dot contraction depth 64, o-dot output width 64), so the remaining lever
+is VPU traffic over the (block_q, N) f32 score matrix. Measured r1->r2:
+each elementwise pass over `s` costs about as much as an MXU dot, so the
+kernel minimizes passes:
+
+* the 1/sqrt(d) scale is folded into q outside the kernel (O(N d), not O(N^2));
+* padded-key masking is a (1, Np) bias row fused into the max/exp passes
+  (no iota/compare pass);
+* exp writes bf16 directly (halves write traffic; identical rounding to
+  exp->f32->cast because the cast is value-rounding either way);
+* the softmax denominator comes FREE from the o-dot: V is extended with a
+  ones column to width 2d (64 -> 128 fills the MXU's output width — the
+  o-dot takes the same cycles as the 64-wide one), so the row-sum pass
+  disappears; the kernel divides the 64-wide o by column 64.
+* row max is kept (one read pass) for overflow robustness.
 
 Layout: q, k, v are (BH, N, d) with BH = batch*heads folded; d = head_dim
-(64 for ViT-S). N is padded to a lane multiple; padded key columns are
-masked to -inf, padded q rows are sliced off by the caller.
+(64 for ViT-S). N is padded to a lane multiple; padded key columns get
+bias -1e30, padded q rows are sliced off by the caller.
 
 :func:`flash_attention` is the raw forward; :func:`flash_attention_trainable`
-adds a Pallas backward (custom VJP) so both inference and training use the
-kernel on TPU (ops/attention.mha_auto dispatches; CPU falls back to the
-chunked XLA path).
+adds a Pallas backward (custom VJP, logsumexp residual recomputation) so both
+inference and training use the kernel on TPU (ops/attention.mha_auto
+dispatches; CPU falls back to the chunked XLA path).
+
+Replaces the reference's cuBLAS/cuDNN attention
+(/root/reference/Self-supervised_segmentation/dino/vision_transformer.py:78-90).
 """
 
 from __future__ import annotations
@@ -27,44 +48,43 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+DEFAULT_BLOCK_Q = 1216  # 2432/2: zero q padding at the mosaic shape (N=2305)
 
-def _attn_kernel(q_ref, kt_ref, v_ref, o_ref, *, n_valid: int, scale: float):
+
+def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, lse_ref, *, d: int):
     # inputs stay in their storage dtype (bf16 on the hot path) — the MXU
     # takes bf16 operands at full rate and accumulates in f32; upcasting
-    # first would force a ~4x slower f32 matmul
+    # first would force a ~4x slower f32 matmul. q arrives pre-scaled.
     q = q_ref[0]  # (bq, d)
     kt = kt_ref[0]  # (d, Np) — pre-transposed outside so the MXU consumes it
     # directly (saves a per-program VMEM transpose)
-    v = v_ref[0]  # (Np, d)
+    ve = ve_ref[0]  # (Np, 2d): [v | ones | zeros]
     s = jax.lax.dot_general(
         q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (bq, Np) f32
-    np_keys = s.shape[-1]
-    if np_keys > n_valid:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < n_valid, s, -1e30)
+    ) + bias_ref[:]  # bias: 0 on valid keys, -1e30 on padded columns
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+    p = jnp.exp(s - m).astype(ve.dtype)  # single pass, bf16 write
+    oe = jax.lax.dot_general(
+        p, ve, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = (o / denom).astype(o_ref.dtype)
+    )  # (bq, 2d): [:, :d] = o*denom, [:, d] = denom
+    denom = oe[:, d : d + 1]
+    o_ref[0] = (oe[:, :d] / denom).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(denom)
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
-def flash_attention(q, k, v, *, block_q: int = 512, interpret: bool = False):
-    """softmax(q k^T / sqrt(d)) v for (B, h, N, d) inputs, fused on TPU.
+def _fold(x, b, h, n, d, pad_to):
+    x = x.reshape(b * h, n, d)
+    return jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
 
-    Numerically equal to ops.attention.attention_scores @ v (f32 softmax),
-    tested in both interpret (CPU) and compiled (TPU) modes.
-    """
+
+def _flash_fwd(q, k, v, block_q: int, interpret: bool):
+    """Returns (out (B,h,N,d), lse (BH, Npq, 1) f32)."""
     b, h, n, d = q.shape
     scale = d**-0.5
     np_ = _round_up(n, 128)
@@ -72,66 +92,86 @@ def flash_attention(q, k, v, *, block_q: int = 512, interpret: bool = False):
     nq = pl.cdiv(np_, bq)
     np_q = nq * bq
 
-    def fold(x, pad_to):
-        x = x.reshape(b * h, n, d)
-        return jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
+    qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
+    ktf = jnp.swapaxes(_fold(k, b, h, n, d, np_), 1, 2)  # (BH, d, Np)
+    vf = _fold(v, b, h, n, d, np_)
+    ones = jnp.concatenate(
+        [jnp.ones((b * h, np_, 1), vf.dtype), jnp.zeros((b * h, np_, d - 1), vf.dtype)], axis=-1
+    )
+    vef = jnp.concatenate([vf, ones], axis=-1)  # (BH, Np, 2d)
+    bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
 
-    qf = fold(q, np_q)
-    ktf = jnp.swapaxes(fold(k, np_), 1, 2)  # (BH, d, Np)
-    vf = fold(v, np_)
-
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, n_valid=n, scale=scale),
+    out, lse = pl.pallas_call(
+        functools.partial(_attn_fwd_kernel, d=d),
         grid=(b * h, nq),
         in_specs=[
             pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, d, np_), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, np_q, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
-            bytes_accessed=b * h * (np_q + 2 * np_) * d * q.dtype.itemsize * 2,
+            bytes_accessed=b * h * (np_q + 3 * np_) * d * q.dtype.itemsize * 2,
             transcendentals=b * h * n * n,
         ),
         interpret=interpret,
-    )(qf, ktf, vf)
+    )(qf, ktf, vef, bias)
+    return out, lse
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
+def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
+    """softmax(q k^T / sqrt(d)) v for (B, h, N, d) inputs, fused on TPU.
+
+    Numerically equal to ops.attention.attention_scores @ v (f32 softmax),
+    tested in both interpret (CPU) and compiled (TPU) modes.
+    """
+    b, h, n, d = q.shape
+    out, _ = _flash_fwd(q, k, v, block_q, interpret)
     return out[:, :n, :].reshape(b, h, n, d)
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref,
-                     *, n_valid: int, scale: float):
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, bias_ref,
+                     dq_ref, dk_ref, dv_ref):
     """Backward for one q block with full K/V resident: recomputes the
-    softmax rows, then dV += P^T dO, dS = P*(dP - D), dK += dS^T q * scale,
-    dq = dS K * scale. dk/dv accumulate across the (sequential) q-block grid
-    axis into i-indexed output blocks."""
+    softmax rows from the saved logsumexp (one exp pass, no max/sum), then
+    dV += P^T dO, dS = P*(dP - D), dK += dS^T q_scaled, dq = dS K * scale.
+    dk/dv accumulate across the (sequential) q-block grid axis into
+    i-indexed output blocks. q arrives pre-scaled; the final dq scale
+    multiply happens outside on the (N, d) result."""
     j = pl.program_id(1)
-    # storage-dtype operands, f32 accumulation (see _attn_kernel)
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
     o = o_ref[0]
+    lse = lse_ref[0]  # (bq, 1) f32
 
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32) * scale
-    np_keys = s.shape[-1]
-    if np_keys > n_valid:
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
-        s = jnp.where(col < n_valid, s, -1e30)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)  # (bq, Np)
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    p = jnp.exp(s + bias_ref[:] - lse).astype(v.dtype)  # (bq, Np) bf16, one pass
 
-    d = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)  # (bq, 1)
+    dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)  # (bq,1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = p * (dp - d)  # (bq, Np)
+    ds = (p.astype(jnp.float32) * (dp - dcap)).astype(v.dtype)  # (bq, Np) bf16
 
-    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
     dv_blk = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32) * scale
+    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
 
     @pl.when(j == 0)
     def _():
@@ -144,11 +184,7 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0] = dv_ref[0] + dv_blk.astype(dv_ref.dtype)
 
 
-def _flash_fwd_impl(q, k, v, block_q, interpret):
-    return flash_attention(q, k, v, block_q=block_q, interpret=interpret)
-
-
-def _flash_bwd_impl(q, k, v, o, do, block_q, interpret):
+def _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret):
     b, h, n, d = q.shape
     scale = d**-0.5
     np_ = _round_up(n, 128)
@@ -156,24 +192,33 @@ def _flash_bwd_impl(q, k, v, o, do, block_q, interpret):
     nq = pl.cdiv(np_, bq)
     np_q = nq * bq
 
-    def fold(x, pad_to):
-        x = x.reshape(b * h, n, d)
-        return jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
-
-    qf, dof, of = fold(q, np_q), fold(do, np_q), fold(o, np_q)
-    kf, vf = fold(k, np_), fold(v, np_)
+    qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
+    dof = _fold(do, b, h, n, d, np_q)
+    of = _fold(o, b, h, n, d, np_q)
+    kf = _fold(k, b, h, n, d, np_)
+    vf = _fold(v, b, h, n, d, np_)
+    bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
+    # padded q rows: lse was computed with all -1e30 logits -> m=-1e30,
+    # denom=bq... their p rows are garbage but sliced off; make them finite
+    lse = jnp.nan_to_num(lse, posinf=0.0, neginf=0.0)
 
     blk_q = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     blk_kv = pl.BlockSpec((1, np_, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk_lse = pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    blk_bias = pl.BlockSpec((1, np_), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, n_valid=n, scale=scale),
+        _attn_bwd_kernel,
         grid=(b * h, nq),
-        in_specs=[blk_q, blk_kv, blk_kv, blk_q, blk_q],
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q, blk_q, blk_lse, blk_bias],
         out_specs=(blk_q, blk_kv, blk_kv),
         out_shape=(
             jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
             jax.ShapeDtypeStruct((b * h, np_, d), k.dtype),
             jax.ShapeDtypeStruct((b * h, np_, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * n * n * d,
@@ -181,27 +226,31 @@ def _flash_bwd_impl(q, k, v, o, do, block_q, interpret):
             transcendentals=b * h * n * n,
         ),
         interpret=interpret,
-    )(qf, kf, vf, dof, of)
+    )(qf, kf, vf, dof, of, lse, bias)
 
     unfold = lambda x, nn: x[:, :nn, :].reshape(b, h, nn, d)
-    return unfold(dq, n), unfold(dk, n), unfold(dv, n)
+    dq = unfold(dq, n)
+    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)  # undo the q pre-scale
+    return dq, unfold(dk, n), unfold(dv, n)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_trainable(q, k, v, block_q: int = 512, interpret: bool = False):
+def flash_attention_trainable(q, k, v, block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
     """Differentiable flash attention: Pallas forward AND backward kernels
     (no N^2 HBM traffic in either direction). Drop-in for the training path."""
-    return _flash_fwd_impl(q, k, v, block_q, interpret)
+    return flash_attention(q, k, v, block_q=block_q, interpret=interpret)
 
 
 def _fa_fwd(q, k, v, block_q, interpret):
-    o = _flash_fwd_impl(q, k, v, block_q, interpret)
-    return o, (q, k, v, o)
+    b, h, n, d = q.shape
+    out, lse = _flash_fwd(q, k, v, block_q, interpret)
+    o = out[:, :n, :].reshape(b, h, n, d)
+    return o, (q, k, v, o, lse)
 
 
 def _fa_bwd(block_q, interpret, res, do):
-    q, k, v, o = res
-    return _flash_bwd_impl(q, k, v, o, do, block_q, interpret)
+    q, k, v, o, lse = res
+    return _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret)
 
 
 flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
@@ -216,7 +265,7 @@ def mha_flash(x, params, num_heads, *, interpret: bool = False):
     if "bqkv" in params:
         qkv = qkv + params["bqkv"].astype(x.dtype)
     q, k, v = split_qkv(qkv, num_heads)
-    out = flash_attention_trainable(q, k, v, 512, interpret)
+    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
     proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)

@@ -102,6 +102,11 @@ def get_wandb(enabled: bool, output_dir: str | None = None):
     try:
         import wandb
 
+        # guard against a stray `wandb/` run-artifact directory on sys.path
+        # resolving as an empty namespace package (the reference repo ships
+        # one) — only accept a module that actually looks like the client
+        if not (hasattr(wandb, "init") and hasattr(wandb, "log")):
+            raise ImportError("wandb resolved to a non-client package")
         return wandb, True
     except ImportError:
         return _FileWandb(output_dir), True
