@@ -63,8 +63,9 @@ def bench(img, batch, *, remat=False, iters=10):
     x = jnp.asarray(rng.random((batch, img, img, 3)).astype(np.float32))
     mask = jnp.asarray((rng.random((batch, g, g)) > 0.5).astype(np.int32))
 
-    params, opt_state, loss, gn = step(params, opt_state, x, mask)
-    loss.block_until_ready()
+    for _ in range(2):  # warmup must sync on the scalar (tunnel quirk)
+        params, opt_state, loss, gn = step(params, opt_state, x, mask)
+        _ = float(loss)
     t0 = time.perf_counter()
     for _ in range(iters):
         params, opt_state, loss, gn = step(params, opt_state, x, mask)

@@ -19,8 +19,11 @@ NP = 2432
 
 
 def chain_time(fn, first, *rest, iters=8):
-    o = fn(first, *rest)
-    jax.block_until_ready(o)
+    # warmup MUST sync on a scalar: block_until_ready on large pallas
+    # outputs returns early over the device tunnel (CLAUDE.md)
+    for _ in range(2):
+        o = fn(first, *rest)
+        _ = float(jnp.sum(jnp.ravel(o)[:8].astype(jnp.float32)))
     t0 = time.perf_counter()
     x = first
     for _ in range(iters):
@@ -109,8 +112,9 @@ def attn(dtype):
         v = jnp.asarray(rng.normal(0, 1, (B * H, NP, 2 * D)), dtype)
     bias = jnp.zeros((1, NP), jnp.float32)
 
-    o = run(q, kt, v, bias)
-    jax.block_until_ready(o)
+    for _ in range(2):
+        o = run(q, kt, v, bias)
+        _ = float(jnp.sum(jnp.ravel(o)[:8].astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(8):
         o = run(q, kt, v, bias)

@@ -48,10 +48,22 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-DEFAULT_BLOCK_Q = 1216  # 2432/2: zero q padding at the mosaic shape (N=2305)
+DEFAULT_BLOCK_Q = 0  # 0 = auto: one q block of round_up(N, 8) rows when the
+# (bq, Np) f32 score matrix fits VMEM — minimal q-row padding (N=2305 pads
+# 0.3% instead of 5.5% at 2432) and one program per (batch, head)
+_AUTO_VMEM_S_BYTES = 40 * 1024 * 1024
 
 
-def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, lse_ref, *, d: int):
+def _pick_block_q(block_q: int, n: int, np_: int) -> int:
+    if block_q:
+        return min(block_q, np_)
+    bq = _round_up(n, 8)
+    if bq * np_ * 4 <= _AUTO_VMEM_S_BYTES:
+        return bq
+    return min(1216, np_)
+
+
+def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, lse_ref=None, *, d: int):
     # inputs stay in their storage dtype (bf16 on the hot path) — the MXU
     # takes bf16 operands at full rate and accumulates in f32; upcasting
     # first would force a ~4x slower f32 matmul. q arrives pre-scaled.
@@ -71,7 +83,8 @@ def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, lse_ref, *, d: int)
     )  # (bq, 2d): [:, :d] = o*denom, [:, d] = denom
     denom = oe[:, d : d + 1]
     o_ref[0] = (oe[:, :d] / denom).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(denom)
+    if lse_ref is not None:  # training residual; the lane-1 write costs ~15%
+        lse_ref[0] = m + jnp.log(denom)
 
 
 def _round_up(x, m):
@@ -83,13 +96,18 @@ def _fold(x, b, h, n, d, pad_to):
     return jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
 
 
-def _flash_fwd(q, k, v, block_q: int, interpret: bool):
-    """Returns (out (B,h,N,d), lse (BH, Npq, 1) f32)."""
+def _flash_fwd(q, k, v, block_q: int, interpret: bool, want_lse: bool):
+    """Returns (out (B,h,N,d), lse (BH, Npq, 1) f32 or None).
+
+    The lse output exists only on the training path: its (bq, 1) block
+    occupies one lane of the (8, 128) VMEM tile, a pathologically padded
+    write that costs ~15% of the kernel — inference skips it.
+    """
     b, h, n, d = q.shape
     scale = d**-0.5
     np_ = _round_up(n, 128)
-    bq = min(block_q, np_)
-    nq = pl.cdiv(np_, bq)
+    bq = _pick_block_q(block_q, n, np_)
+    nq = pl.cdiv(n, bq)
     np_q = nq * bq
 
     qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
@@ -101,7 +119,13 @@ def _flash_fwd(q, k, v, block_q: int, interpret: bool):
     vef = jnp.concatenate([vf, ones], axis=-1)  # (BH, Np, 2d)
     bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
 
-    out, lse = pl.pallas_call(
+    out_specs = [pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, np_q, 1), jnp.float32))
+
+    res = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, d=d),
         grid=(b * h, nq),
         in_specs=[
@@ -110,14 +134,8 @@ def _flash_fwd(q, k, v, block_q: int, interpret: bool):
             pl.BlockSpec((1, np_, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, np_), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, np_q, 1), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -129,7 +147,9 @@ def _flash_fwd(q, k, v, block_q: int, interpret: bool):
         ),
         interpret=interpret,
     )(qf, ktf, vef, bias)
-    return out, lse
+    if want_lse:
+        return res[0], res[1]
+    return res[0], None
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
@@ -140,7 +160,7 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool 
     tested in both interpret (CPU) and compiled (TPU) modes.
     """
     b, h, n, d = q.shape
-    out, _ = _flash_fwd(q, k, v, block_q, interpret)
+    out, _ = _flash_fwd(q, k, v, block_q, interpret, want_lse=False)
     return out[:, :n, :].reshape(b, h, n, d)
 
 
@@ -188,8 +208,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret):
     b, h, n, d = q.shape
     scale = d**-0.5
     np_ = _round_up(n, 128)
-    bq = min(block_q, np_)
-    nq = pl.cdiv(np_, bq)
+    bq = _pick_block_q(block_q, n, np_)
+    nq = pl.cdiv(n, bq)
     np_q = nq * bq
 
     qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
@@ -243,7 +263,7 @@ def flash_attention_trainable(q, k, v, block_q: int = DEFAULT_BLOCK_Q, interpret
 
 def _fa_fwd(q, k, v, block_q, interpret):
     b, h, n, d = q.shape
-    out, lse = _flash_fwd(q, k, v, block_q, interpret)
+    out, lse = _flash_fwd(q, k, v, block_q, interpret, want_lse=True)
     o = out[:, :n, :].reshape(b, h, n, d)
     return o, (q, k, v, o, lse)
 
