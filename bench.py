@@ -54,15 +54,25 @@ def main():
     dice = 2 * inter / max(m32.sum() + m16.sum(), 1)
     assert dice > 0.99, f"bf16/fp32 mask Dice {dice:.4f} below parity gate"
 
-    # compile + warmup
+    # compile + warmup. Timing methodology (BENCH.md): over the device tunnel
+    # block_until_ready can return before execution completes, so every
+    # dispatch is chained on the previous output (the mask's low bit perturbs
+    # the next input — identical shapes/compute, forced serial dependency)
+    # and the clock stops on a scalar host transfer.
+    def chain(im, mask):
+        return jnp.bitwise_xor(img, mask & jnp.uint8(1))
+
     mask, attn = run(img)
-    jax.block_until_ready((mask, attn))
+    mask, attn = run(chain(img, mask))
+    float(jnp.sum(attn))  # scalar sync: warmup truly finished
 
     iters = 20
+    im = img
     start = time.perf_counter()
     for _ in range(iters):
-        mask, attn = run(img)
-    jax.block_until_ready((mask, attn))
+        mask, attn = run(im)
+        im = chain(im, mask)
+    float(jnp.sum(attn))  # scalar sync: all chained dispatches executed
     dt = time.perf_counter() - start
 
     mp = size * size / 1e6
