@@ -107,6 +107,44 @@ def test_train_step_reduces_loss():
     assert losses[-1] < losses[0]
 
 
+def test_amp_step_matches_fp32_and_keeps_f32_state():
+    """amp=True (AMP_OPT_LEVEL, config.py:176): bf16 forward/backward must
+    (a) keep master params, grads and opt state float32, (b) produce a step
+    numerically close to the fp32 step (bf16 has ~3 decimal digits), and
+    (c) train: loss decreases over a few steps."""
+    cfg = _tiny_cfg("/tmp")
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params0 = simmim.init(vit_cfg, jax.random.PRNGKey(0))
+    tx = optim.build_optimizer(cfg, params0, lambda t: 1e-3)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((4, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((4, 4, 4)) > 0.5).astype(np.int32))
+
+    fresh = lambda: jax.tree.map(jnp.copy, params0)
+    step32 = make_train_step(vit_cfg, tx)
+    step16 = make_train_step(vit_cfg, tx, amp=True)
+
+    p32 = fresh()
+    p32, _, loss32, _ = step32(p32, tx.init(p32), x, mask)
+    p16 = fresh()
+    st16 = tx.init(p16)
+    p16, st16, loss16, gnorm16 = step16(p16, st16, x, mask)
+
+    assert all(a.dtype == jnp.float32 for a in jax.tree.leaves(p16))
+    assert all(a.dtype != jnp.bfloat16 for a in jax.tree.leaves(st16))
+    assert abs(float(loss16) - float(loss32)) < 0.02 * max(abs(float(loss32)), 1e-6)
+    # one AdamW step moves each param by ~lr; bf16 grad noise perturbs the
+    # direction but not the scale
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(p16)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-3)
+
+    losses = [float(loss16)]
+    for _ in range(7):
+        p16, st16, loss, _ = step16(p16, st16, x, mask)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
 def test_gradient_accumulation_matches_big_batch():
     """ACCUMULATION_STEPS=4 over four batch-2 micro-steps == one batch-8 step
     (final params equal). Holds because the MIM loss is a masked mean and the

@@ -48,7 +48,7 @@ def vit_forward_flops(cfg: ViTConfig, img: int, batch: int) -> float:
     return batch * (cfg.depth * per_block + patch + dec)
 
 
-def bench(img, batch, *, remat=False, iters=10):
+def bench(img, batch, *, remat=False, amp=False, iters=10):
     vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
                         pretrain_img_size=img)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
@@ -56,7 +56,7 @@ def bench(img, batch, *, remat=False, iters=10):
     cfg.TRAIN.USE_CHECKPOINT = remat
     tx = build_optimizer(cfg, params, lambda t: 1e-4)
     opt_state = tx.init(params)
-    step = make_train_step(vit_cfg, tx, remat=remat)
+    step = make_train_step(vit_cfg, tx, remat=remat, amp=amp)
 
     rng = np.random.default_rng(0)
     g = img // 8
@@ -74,7 +74,7 @@ def bench(img, batch, *, remat=False, iters=10):
 
     flops = 3 * vit_forward_flops(vit_cfg, img, batch)
     return {
-        "img": img, "batch": batch, "remat": remat,
+        "img": img, "batch": batch, "remat": remat, "amp": amp,
         "ms_per_iter": round(dt * 1e3, 1),
         "model_tflops_per_step": round(flops / 1e12, 2),
         "mfu_pct": round(100 * flops / dt / PEAK_BF16, 1),
@@ -83,12 +83,21 @@ def bench(img, batch, *, remat=False, iters=10):
 
 
 def main():
-    for img, batch, remat in ((224, 60, False), (384, 60, False), (384, 60, True),
-                              (384, 128, True)):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--amp_only", action="store_true",
+                    help="run only the AMP (bf16 compute) rows")
+    opts = ap.parse_args()
+    rows = [(224, 60, False, True), (384, 60, True, True), (384, 128, True, True)]
+    if not opts.amp_only:
+        rows = [(224, 60, False, False), (384, 60, False, False),
+                (384, 60, True, False), (384, 128, True, False)] + rows
+    for img, batch, remat, amp in rows:
         try:
-            print(json.dumps(bench(img, batch, remat=remat)), flush=True)
+            print(json.dumps(bench(img, batch, remat=remat, amp=amp)), flush=True)
         except Exception as e:
-            print(json.dumps({"img": img, "batch": batch, "remat": remat,
+            print(json.dumps({"img": img, "batch": batch, "remat": remat, "amp": amp,
                               "error": f"{type(e).__name__}: {str(e)[:150]}"}), flush=True)
 
 

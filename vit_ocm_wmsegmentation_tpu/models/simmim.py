@@ -85,5 +85,8 @@ def mim_loss(params, cfg: ViTConfig, x, mask, *, remat=False):
     p = cfg.patch_size
     pix_mask = jnp.repeat(jnp.repeat(mask, p, axis=1), p, axis=2).astype(x.dtype)[..., None]
     l1 = jnp.abs(x - x_rec)
-    loss = jnp.sum(l1 * pix_mask) / (jnp.sum(pix_mask) + 1e-5) / 3.0
+    # reduce in f32 regardless of compute dtype: a bf16 sum over B*H*W*3
+    # elements loses mantissa long before the mean is formed (AMP path)
+    loss = jnp.sum((l1 * pix_mask).astype(jnp.float32)) / (
+        jnp.sum(pix_mask.astype(jnp.float32)) + 1e-5) / 3.0
     return loss, x_rec, pix_mask

@@ -31,11 +31,24 @@ from .optim import build_optimizer
 from .schedule import build_schedule
 
 
-def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None, remat=False):
+def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None, remat=False,
+                    amp=False):
     """Compiled MIM step: (params, opt_state, x, mask) ->
-    (params, opt_state, loss, grad_norm)."""
+    (params, opt_state, loss, grad_norm).
+
+    amp=True is the TPU mixed-precision rebuild of the reference's
+    AMP_OPT_LEVEL knob (config.py:177, apex O1 on CUDA): forward/backward run
+    in bf16 (MXU-native), while master params, grads (the cast's VJP
+    upcasts the cotangent), grad-clip and AdamW state stay float32. bf16 has
+    fp32's exponent range, so no loss scaling is needed — the loss reduction
+    itself accumulates in f32 (models/simmim.py).
+    """
 
     def loss_fn(params, x, mask):
+        if amp:
+            params = jax.tree.map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
+            x = x.astype(jnp.bfloat16)
         loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask, remat=remat)
         return loss
 
@@ -107,7 +120,8 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         batch_sh = batch_sharding(mesh)
         params = shard_params(params, param_sh)
     step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh,
-                              remat=bool(cfg.TRAIN.USE_CHECKPOINT))
+                              remat=bool(cfg.TRAIN.USE_CHECKPOINT),
+                              amp=cfg.AMP_OPT_LEVEL not in ("", "O0"))
 
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info(f"number of params: {n_params}")
