@@ -32,6 +32,10 @@ def parse_args():
     parser.add_argument("--window_size", default=384, type=int)
     parser.add_argument("--stride", default=128, type=int)
     parser.add_argument("--output_dir", default="temp/")
+    parser.add_argument("--bf16", default=0, type=int,
+                        help="run the ViT in bfloat16 (MXU-native, ~equal masks — "
+                             "bf16-vs-f32 Dice > 0.99, see BENCH.md); 0 = float32 "
+                             "like the reference")
     return parser.parse_args()
 
 
@@ -47,7 +51,11 @@ def main():
     gray = np.asarray(img.convert("L"), np.uint8)
     create_dir(args.output_dir)
 
-    mask, attn = pl.segment_mosaic(params, cfg, jnp.asarray(gray), args.window_size, args.stride)
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.bf16:
+        params = pl.cast_params(params, jnp.bfloat16)
+    mask, attn = pl.segment_mosaic(params, cfg, jnp.asarray(gray), args.window_size, args.stride,
+                                   dtype=dtype)
     attn = np.asarray(attn)
     imsave(os.path.join(args.output_dir, "attention_map_sw.jpg"), attn)
     _, _, heatmap_otsu = threshold_multiplicative(jnp.asarray(gray), jnp.asarray(attn))

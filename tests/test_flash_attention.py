@@ -69,6 +69,49 @@ def test_flash_vjp_matches_xla(n):
     np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv), atol=3e-4)
 
 
+def test_flash_auto_blockq_both_paths(monkeypatch):
+    """block_q=0 (the default) picks one whole-N program when the score
+    matrix fits the VMEM budget, and falls back to fixed 1216-row blocks
+    when it doesn't; both must match the oracle. The fallback is forced by
+    shrinking the budget rather than allocating a huge N."""
+    import importlib
+
+    # ops/__init__ re-exports a *function* named flash_attention that shadows
+    # the submodule on attribute imports; resolve the module explicitly
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+
+    q, k, v = _qkv(1, 2, 150, 64, seed=9)
+    want = jnp.einsum("bhqk,bhkd->bhqd", att.attention_scores(q, k), v)
+
+    got_whole = flash_attention(q, k, v, block_q=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_whole), np.asarray(want), atol=2e-5)
+    assert fa._pick_block_q(0, 150, 256) == 152  # round_up(150, 8), one program
+
+    monkeypatch.setattr(fa, "_AUTO_VMEM_S_BYTES", 1024)  # force the blocked path
+    assert fa._pick_block_q(0, 150, 256) == 256  # min(1216, np_)
+    # call the unjitted internal: the jitted wrapper would replay its cached
+    # trace (same shapes + statics) and never re-read the budget
+    out, _ = fa._flash_fwd(q, k, v, 0, True, False)
+    got_blocked = out[:, :150, :].reshape(q.shape)
+    np.testing.assert_allclose(np.asarray(got_blocked), np.asarray(want), atol=2e-5)
+
+
+def test_flash_vjp_bf16():
+    """The training path runs bf16 under AMP: the Pallas backward must stay
+    within bf16 rounding of the f32 XLA oracle."""
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import flash_attention_trainable
+
+    q, k, v = _qkv(1, 2, 100, 64, seed=11)
+    do = jnp.asarray(np.random.default_rng(12).normal(0, 1, q.shape).astype(np.float32))
+    want = _vjp_oracle(q, k, v, do)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    _, vjp = jax.vjp(lambda a, b, c: flash_attention_trainable(a, b, c, 0, True), qb, kb, vb)
+    got = vjp(do.astype(jnp.bfloat16))
+    for g, w in zip(got, want):
+        assert g.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g, dtype=np.float32), np.asarray(w), atol=0.15)
+
+
 def test_mha_flash_grad_matches_chunked():
     rng = np.random.default_rng(5)
     d = 32
