@@ -8,6 +8,8 @@ the entire per-image pipeline fused on device.
 
 import argparse
 
+import jax.numpy as jnp
+
 from vit_ocm_wmsegmentation_tpu import evaluation
 from vit_ocm_wmsegmentation_tpu.cli import create_dir, load_model
 from vit_ocm_wmsegmentation_tpu.data import build_eval_samples
@@ -35,6 +37,10 @@ def parse_args():
                         help="ours, otsu, k-means, k-means_ours, chan-vese, "
                              "chan-vese_ours, heatmap_threshold, k-means_feature_clustering")
     parser.add_argument("--median_filter", default=1, type=int)
+    parser.add_argument("--bf16", default=0, type=int,
+                        help="run the ViT in bfloat16 (MXU-native; attention "
+                             "maps still leave in f32 and thresholds/metrics "
+                             "are unchanged). 0 = float32 like the reference")
     return parser.parse_args()
 
 
@@ -62,6 +68,7 @@ def main():
         params, cfg, samples, method=args.method, crop=args.crop,
         median_size=int(args.median_filter), logger=logger,
         wandb=wandb if use_wandb else None, batch_size=int(args.batch_size),
+        dtype=jnp.bfloat16 if int(args.bf16) else jnp.float32,
     )
     if use_wandb:
         wandb.finish()

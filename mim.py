@@ -62,11 +62,22 @@ def main():
     if use_wandb:
         wandb.init(project="mim", name=f"{cfg.TAG}_{cfg.DATA.IMG_SIZE}_{cfg.DATA.BATCH_SIZE}B", config=dict(cfg))
 
-    loader = build_simmim_loader(
-        cfg.DATA.IMAGE_PATH, cfg.DATA.BATCH_SIZE, cfg.DATA.IMG_SIZE,
-        cfg.DATA.MASK_PATCH_SIZE, cfg.MODEL.PATCH_SIZE, cfg.DATA.MASK_RATIO,
-        roi_masking=cfg.roi_masking, seed=cfg.SEED,
-    )
+    if cfg.DATA.DEVICE_AUG and not cfg.roi_masking:
+        # the whole SimMIM transform runs on device (data/device_aug.py);
+        # the host only decodes. ROI masking needs host CC labeling.
+        from vit_ocm_wmsegmentation_tpu.data import build_simmim_device_loader
+
+        loader = build_simmim_device_loader(
+            cfg.DATA.IMAGE_PATH, cfg.DATA.BATCH_SIZE, cfg.DATA.IMG_SIZE,
+            cfg.DATA.MASK_PATCH_SIZE, cfg.MODEL.PATCH_SIZE, cfg.DATA.MASK_RATIO,
+            seed=cfg.SEED,
+        )
+    else:
+        loader = build_simmim_loader(
+            cfg.DATA.IMAGE_PATH, cfg.DATA.BATCH_SIZE, cfg.DATA.IMG_SIZE,
+            cfg.DATA.MASK_PATCH_SIZE, cfg.MODEL.PATCH_SIZE, cfg.DATA.MASK_RATIO,
+            roi_masking=cfg.roi_masking, seed=cfg.SEED,
+        )
     logger.info(f"Creating model:{cfg.MODEL.NAME}/{cfg.MODEL.PATCH_SIZE}")
 
     eval_fn = None

@@ -55,6 +55,51 @@ def test_validate_methods(dataset, params, method):
     assert 0.0 <= acc <= 1.0 and 0.0 <= f1 <= 1.0 and 0.0 <= loss <= 1.0
 
 
+def test_batched_u8_wire_matches_per_image(dataset, params):
+    """Grayscale sources set gray_exact, and the uint8-wire batched step must
+    be bit-identical to the per-image f32 path (to_model_input(gray) ==
+    image when the source is grayscale)."""
+    samples = build_eval_samples(dataset, 32)
+    assert all(s.gray_exact for s in samples)
+    ref = evaluation.validate(params, CFG, samples, method="ours")  # per-image
+    got = evaluation.validate(params, CFG, samples, method="ours", batch_size=2)
+    for a, b in zip(got, ref):
+        assert abs(a - b) < 1e-6, (got, ref)
+
+
+def test_batched_rgb_wire_on_color_sources(tmp_path, params):
+    """Color sources must take the f32 RGB wire (gray_exact False) and agree
+    with the per-image path."""
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(2):
+        img = (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "images" / f"{i}.png")
+        lab = np.zeros((32, 32), np.uint8)
+        lab[8:24, 8:24] = 255
+        Image.fromarray(lab).save(tmp_path / "labels" / f"{i}.png")
+    samples = build_eval_samples(str(tmp_path), 32)
+    assert not any(s.gray_exact for s in samples)
+    ref = evaluation.validate(params, CFG, samples, method="ours")
+    got = evaluation.validate(params, CFG, samples, method="ours", batch_size=2)
+    for a, b in zip(got, ref):
+        assert abs(a - b) < 1e-6, (got, ref)
+
+
+def test_validate_bf16_tracks_fp32(dataset, params):
+    """eval.py --bf16 1: bf16 ViT compute with f32 attention hand-off must
+    give metrics within bf16 rounding of the fp32 path, batched and
+    per-image alike."""
+    samples = build_eval_samples(dataset, 32)
+    ref = evaluation.validate(params, CFG, samples, method="ours")
+    for bs in (1, 2):
+        got = evaluation.validate(params, CFG, samples, method="ours",
+                                  batch_size=bs, dtype=jnp.bfloat16)
+        for a, b in zip(got, ref):
+            assert abs(a - b) < 0.05, (got, ref)
+
+
 def test_validate_otsu_segments_synthetic_square(dataset, params):
     """On a clean bright-square image, plain Otsu on the image must nail the
     label regardless of model weights."""

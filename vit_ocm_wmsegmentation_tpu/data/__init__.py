@@ -8,6 +8,7 @@ large mosaics happens *on device* (ops/stitch.py), not here.
 from .datasets import (
     EvalSample,
     build_eval_samples,
+    build_simmim_device_loader,
     build_simmim_loader,
     list_images,
     load_gray_resized,

@@ -58,6 +58,9 @@ class EvalSample:
     # grid source differs from the NEAREST-resized eval image.
     crop_image: np.ndarray | None = None  # float32 (H, W, 3) in [0,1]
     crop_gray: np.ndarray | None = None  # uint8 (H, W)
+    # True when image is exactly the replicated gray (grayscale source):
+    # lets batched eval ship uint8 over the wire instead of f32 RGB
+    gray_exact: bool = False
 
 
 def build_eval_samples(eval_dataset_path: str, image_size: int, crop: int = 1) -> list[EvalSample]:
@@ -77,8 +80,13 @@ def build_eval_samples(eval_dataset_path: str, image_size: int, crop: int = 1) -
         if crop > 1:
             crop_rgb = load_rgb_resized(ip, (image_size, image_size), Image.Resampling.BICUBIC)
             crop_gray = load_gray_resized(ip, (image_size, image_size), Image.Resampling.BICUBIC)
+        gray_exact = bool(
+            np.array_equal(rgb[..., 0], rgb[..., 1])
+            and np.array_equal(rgb[..., 1], rgb[..., 2])
+            and np.array_equal(np.round(rgb[..., 0] * 255.0).astype(np.uint8), gray)
+        )
         out.append(EvalSample(rgb, gray, np.asarray(lab, np.float32) / 255.0, ip,
-                              crop_rgb, crop_gray))
+                              crop_rgb, crop_gray, gray_exact))
     return out
 
 
@@ -162,6 +170,121 @@ def build_simmim_loader(image_path: str, batch_size: int, img_size: int, mask_pa
     paths = list_images(image_path)
     transform = SimMIMTransform(img_size, mask_patch_size, model_patch_size, mask_ratio, roi_masking)
     return Loader(paths, transform, batch_size, seed=seed, drop_last=drop_last, cache_images=cache_images)
+
+
+def build_simmim_device_loader(image_path: str, batch_size: int, img_size: int,
+                               mask_patch_size: int, model_patch_size: int,
+                               mask_ratio: float, seed: int = 0,
+                               drop_last: bool = True) -> "DeviceAugLoader":
+    """Device-side augmentation variant of build_simmim_loader
+    (DATA.DEVICE_AUG): the host only decodes; RandomResizedCrop + flips +
+    MaskGenerator run as one jitted graph per batch (data/device_aug.py).
+    ROI masking needs host connected components — use the host loader there.
+    """
+    return DeviceAugLoader(list_images(image_path), batch_size, img_size,
+                           mask_patch_size, model_patch_size, mask_ratio,
+                           seed=seed, drop_last=drop_last)
+
+
+class DeviceAugLoader:
+    """HBM-resident dataset + on-device SimMIM transform.
+
+    Per-batch host->device shipping is the actual training bottleneck when
+    the host link is slow (a 60x224^2x3 f32 batch is 36 MB; BENCH.md measured
+    ~20 MB/s over this repo's device tunnel — 10x the step time). OCM
+    pretraining sets are small (~600 384^2 tiles = ~100 MB as uint8 gray), so
+    the TPU-native shape of this loader is: decode every source once, ship
+    the whole uint8 stack to HBM once, and run shuffle-gather + the full
+    augmentation as device ops. Steady-state epochs move ZERO image bytes
+    over the host link.
+
+    Yields (aug (B, S, S, 3) f32, mask (B, g, g) i32) device arrays.
+    Sources are decoded at the canonical size — the size of the first
+    readable image; stragglers are PIL-bilinear-resized to it (documented
+    delta: the reference crops each image at its native size). Grayscale
+    sources (the OCM case) are stored single-channel. Datasets larger than
+    ``max_resident_bytes`` (default 4 GB, ~v5e HBM / 4) fall back to shipping
+    uint8 batches per step. Deterministic per (seed, epoch, batch index).
+    """
+
+    def __init__(self, paths, batch_size, img_size, mask_patch_size,
+                 model_patch_size, mask_ratio, seed=0, drop_last=True,
+                 max_resident_bytes=4 << 30):
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.img_size = img_size
+        self.mask_patch_size = mask_patch_size
+        self.model_patch_size = model_patch_size
+        self.mask_ratio = mask_ratio
+        self.seed = seed
+        self.drop_last = drop_last
+        self.max_resident_bytes = max_resident_bytes
+        self._host_src: np.ndarray | None = None  # (N, H, W[, 3]) uint8
+        self._dev_src = None  # same, device-resident (or None if too big)
+
+    def _ensure_sources(self):
+        if self._host_src is not None:
+            return
+        arrs = []
+        canonical = None
+        all_gray = True
+        for p in self.paths:
+            try:
+                img = Image.open(p).convert("RGB")
+            except Exception as e:
+                print(f"Error reading image: {p} ({e}); skipping")
+                continue
+            if canonical is None:
+                canonical = img.size
+            elif img.size != canonical:
+                img = img.resize(canonical, Image.Resampling.BILINEAR)
+            a = np.asarray(img, dtype=np.uint8)
+            if all_gray and not (
+                np.array_equal(a[..., 0], a[..., 1]) and np.array_equal(a[..., 1], a[..., 2])
+            ):
+                all_gray = False
+            arrs.append(a)
+        if not arrs:
+            self._host_src = np.zeros((0, 1, 1), np.uint8)
+            return
+        src = np.stack(arrs)
+        if all_gray:
+            src = src[..., 0]  # single channel over the wire and in HBM
+        self._host_src = src
+        if src.nbytes <= self.max_resident_bytes:
+            import jax.numpy as jnp
+
+            self._dev_src = jnp.asarray(src)  # one transfer, resident forever
+
+    def __len__(self):
+        self._ensure_sources()
+        n = len(self._host_src) // self.batch_size
+        if not self.drop_last and len(self._host_src) % self.batch_size:
+            n += 1
+        return max(n, 0)
+
+    def epoch(self, epoch: int):
+        import jax
+        import jax.numpy as jnp
+
+        from .device_aug import simmim_augment
+
+        self._ensure_sources()
+        n = len(self._host_src)
+        rng = np.random.default_rng((self.seed, epoch))
+        order = rng.permutation(n)
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)
+        stop = n - n % self.batch_size if self.drop_last else n
+        for batch_idx, s0 in enumerate(range(0, stop, self.batch_size)):
+            idx = order[s0 : s0 + self.batch_size]
+            if self._dev_src is not None:
+                batch = jnp.take(self._dev_src, jnp.asarray(idx), axis=0)  # HBM gather
+            else:
+                batch = jnp.asarray(self._host_src[idx])  # uint8 over the wire
+            yield simmim_augment(
+                batch, jax.random.fold_in(key, batch_idx),
+                out_size=self.img_size, mask_patch_size=self.mask_patch_size,
+                model_patch_size=self.model_patch_size, mask_ratio=self.mask_ratio)
 
 
 class Loader:

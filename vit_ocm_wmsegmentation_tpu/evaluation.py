@@ -89,7 +89,7 @@ def score_pair(output_u8, target):
     return loss, mets
 
 
-def _image_attention(params, cfg, sample, crop: int, median_size: int):
+def _image_attention(params, cfg, sample, crop: int, median_size: int, dtype=jnp.float32):
     """Smoothed attention for one sample, crop==1 or grid-crop variant
     (eval.py:135-171). Returns (attention (H,W), gray_u8 (H,W)).
 
@@ -101,18 +101,37 @@ def _image_attention(params, cfg, sample, crop: int, median_size: int):
     """
     h, w = sample.gray.shape
     if crop == 1:
-        attn = attention_map_rgb(params, cfg, jnp.asarray(sample.image)[None], median_size)[0]
+        x = jnp.asarray(sample.image)[None].astype(dtype)
+        attn = attention_map_rgb(params, cfg, x, median_size)[0]
         return attn, jnp.asarray(sample.gray)
     assert sample.crop_image is not None, "crop>1 needs build_eval_samples(..., crop=crop)"
     g = int(np.sqrt(crop))
     ch, cw = h // g, w // g
     tiles = jnp.asarray(sample.crop_image).reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
-    grids = head_average_attention(params, cfg, tiles, median_size)  # (T, gh, gw)
+    grids = head_average_attention(params, cfg, tiles.astype(dtype), median_size).astype(jnp.float32)
     p = cfg.patch_size
     maps = jax.vmap(lambda gr: jnp.repeat(jnp.repeat(gr, p, 0), p, 1))(grids)
     recon = concat_crops(maps)
     attn = smooth_attention(recon[::p, ::p], p, (h, w))
     return attn, jnp.asarray(sample.crop_gray)
+
+
+@partial(jax.jit, static_argnames=("cfg", "method", "median_size", "dtype"))
+def _batched_eval_step_u8(params, cfg, grays_u8, targets_u8, method, median_size,
+                          dtype=jnp.float32):
+    """uint8-wire variant of the batched step for grayscale sources (the OCM
+    datasets): the host ships only (B, H, W) uint8 gray + uint8 labels — ~8x
+    fewer bytes than f32 RGB + f32 targets, which is the actual eval
+    bottleneck over a host link (BENCH.md: pure compute 160 img/s vs ~26
+    end-to-end before this path). The RGB model input is reconstructed on
+    device; bit-identical to the f32 path when image == replicated gray."""
+    from .pipeline import to_model_input
+
+    attn = attention_map_rgb(params, cfg, to_model_input(grays_u8, dtype), median_size)
+    outputs = jax.vmap(lambda g, a: apply_method(g, a, method))(grays_u8, attn)
+    targets = targets_u8.astype(jnp.float32) / 255.0
+    losses, mets = jax.vmap(score_pair)(outputs, targets)
+    return losses, mets, outputs, attn
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "median_size"))
@@ -144,14 +163,24 @@ def _log_image_panels(wandb, meters, sample, output, attn, epoch):
 
 
 def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
-             logger=None, wandb=None, epoch=0, print_freq=1, batch_size=1):
+             logger=None, wandb=None, epoch=0, print_freq=1, batch_size=1,
+             dtype=jnp.float32):
     """Returns (acc_avg, f1_avg, loss_avg), logging per image like the
     reference validate().
 
     batch_size > 1 (crop==1, threshold methods only) batches the whole
     per-image pipeline into one device dispatch per chunk — identical
     numbers, far less host/dispatch overhead.
+
+    dtype=jnp.bfloat16 (eval.py --bf16 1) runs the ViT in MXU-native bf16;
+    attention maps leave the model in f32 and all smoothing/threshold/metric
+    stages are unchanged (documented delta: bf16 rounding can move a few
+    pixels near threshold boundaries; defaults stay fp32 reference-exact).
     """
+    if dtype != jnp.float32:
+        from .pipeline import cast_params
+
+        params = cast_params(params, dtype)
     meters = {k: AverageMeter() for k in ("loss", "acc", "f1", "precision", "recall", "jaccard", "time")}
     # chan-vese stays per-image: a vmapped while_loop would keep updating
     # already-converged lanes, changing its results; feature clustering has
@@ -162,14 +191,36 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
         and batch_size > 1
     )
     if batchable:
+        from .data.prefetch import prefetch
+
+        # grayscale sources (image == replicated gray, true for the OCM
+        # datasets) go over the wire as uint8; otherwise f32 RGB. A prefetch
+        # thread overlaps the host stack + transfer with device compute.
+        chunk_list = [samples[s0 : s0 + batch_size] for s0 in range(0, len(samples), batch_size)]
+        u8_wire = all(getattr(s, "gray_exact", False) for s in samples)
+
+        def host_batches():
+            for chunk in chunk_list:
+                grays = np.stack([s.gray for s in chunk])
+                if u8_wire:
+                    targets = np.stack([np.round(s.label * 255.0).astype(np.uint8) for s in chunk])
+                    yield grays, targets
+                else:
+                    images = np.stack([s.image for s in chunk])
+                    targets = np.stack([s.label for s in chunk])
+                    yield images, grays, targets
+
         end = time.time()
         idx = 0
-        for s0 in range(0, len(samples), batch_size):
-            chunk = samples[s0 : s0 + batch_size]
-            images = jnp.asarray(np.stack([s.image for s in chunk]))
-            grays = jnp.asarray(np.stack([s.gray for s in chunk]))
-            targets = jnp.asarray(np.stack([s.label for s in chunk]))
-            losses, mets, outputs, attns = _batched_eval_step(params, cfg, images, grays, targets, method, median_size)
+        dev = jax.devices()[0]
+        for ci, arrs in enumerate(prefetch(host_batches(), sharding=dev)):
+            chunk = chunk_list[ci]
+            if u8_wire:
+                losses, mets, outputs, attns = _batched_eval_step_u8(
+                    params, cfg, arrs[0], arrs[1], method, median_size, dtype)
+            else:
+                losses, mets, outputs, attns = _batched_eval_step(
+                    params, cfg, arrs[0].astype(dtype), arrs[1], arrs[2], method, median_size)
             losses, mets = np.asarray(losses), np.asarray(mets)
             for b in range(len(chunk)):
                 jac, f1, rec, prec, acc = mets[b]
@@ -195,9 +246,10 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
 
     end = time.time()
     for idx, sample in enumerate(samples):
-        attn, gray = _image_attention(params, cfg, sample, crop, median_size)
+        attn, gray = _image_attention(params, cfg, sample, crop, median_size, dtype)
         if method == "k-means_feature_clustering":
-            output = feature_clustering_mask(params, cfg, jnp.asarray(sample.image)[None], gray)
+            output = feature_clustering_mask(
+                params, cfg, jnp.asarray(sample.image)[None].astype(dtype), gray)
         else:
             output = apply_method(gray, attn, method)
         target = jnp.asarray(sample.label)

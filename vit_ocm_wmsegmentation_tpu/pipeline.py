@@ -76,7 +76,9 @@ def attention_map_rgb(params, cfg, x, median_size=1):
     """eval.py crop==1 attention chain for float RGB input (B, H, W, 3) in
     [0,1]: returns the smoothed attention map (B, H, W) float32."""
     b, h, w, _ = x.shape
-    avg = head_average_attention(params, cfg, x, median_size)
+    # attention grids leave in f32 whatever the ViT compute dtype (bf16 under
+    # --bf16): smoothing/threshold stages downstream stay exact either way
+    avg = head_average_attention(params, cfg, x, median_size).astype(jnp.float32)
     return jax.vmap(lambda g: smooth_attention(g, cfg.patch_size, (h, w)))(avg)
 
 

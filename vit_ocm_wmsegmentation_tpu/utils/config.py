@@ -109,6 +109,10 @@ def default_config() -> CfgNode:
                 "MASK_RATIO": 0.6,
                 "IMAGE_PATH": "",
                 "OUTPUT_DIR": "",
+                # extension (not in the reference tree): run the SimMIM
+                # transform on device (data/device_aug.py) — the host only
+                # decodes. Incompatible with roi_masking (host CC labeling).
+                "DEVICE_AUG": False,
             },
             "MODEL": {
                 "TYPE": "vit",
