@@ -31,6 +31,26 @@ def seg_dataset(tmp_path_factory):
     return str(root)
 
 
+def test_segloader_device_resident_matches_host(seg_dataset):
+    """The HBM-resident SegLoader path must yield bit-identical batches to
+    the per-batch host decode (the /255 normalization commutes with the
+    uint8 gather)."""
+    from glob import glob
+
+    imgs = sorted(glob(seg_dataset + "/images/*"))
+    labs = sorted(glob(seg_dataset + "/labels/*"))
+    host = sup.SegLoader(imgs, labs, 32, 2, shuffle=True, device_resident=False)
+    dev = sup.SegLoader(imgs, labs, 32, 2, shuffle=True, device_resident=True)
+    for (hx, hy), (dx, dy) in zip(host.epoch(3), dev.epoch(3)):
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+        np.testing.assert_array_equal(hy, np.asarray(dy))
+    # unlabeled (PGT) mode
+    host_u = sup.SegLoader(imgs, None, 32, 2, device_resident=False)
+    dev_u = sup.SegLoader(imgs, None, 32, 2, device_resident=True)
+    for hx, dx in zip(host_u.epoch(0), dev_u.epoch(0)):
+        np.testing.assert_array_equal(hx, np.asarray(dx))
+
+
 def test_plateau_scheduler():
     s = sup.ReduceLROnPlateau(1e-3, patience=2, factor=0.1)
     for v in [1.0, 0.9, 0.95, 0.96]:  # 2 bad epochs -> no drop yet

@@ -60,20 +60,62 @@ def load_mask_cv2(path, size, nearest=False):
 
 
 class SegLoader:
-    """Labeled (or unlabeled, for PGT) batch iterator."""
+    """Labeled (or unlabeled, for PGT) batch iterator.
 
-    def __init__(self, images, labels=None, image_size=512, batch_size=2, shuffle=False, seed=42):
+    ``device_resident=True`` decodes every image once into a uint8 stack in
+    HBM and gathers batches on device (the /255 normalization included):
+    after the first epoch, zero image bytes cross the host link. The
+    supervised sets are tiny (~70 x 512^2), so this is the TPU-native
+    default for the finetune/PGT/unet loops; numerics are identical to the
+    host path (cv2 resize happens before the uint8 quantization either way).
+    """
+
+    def __init__(self, images, labels=None, image_size=512, batch_size=2, shuffle=False, seed=42,
+                 device_resident=True):
         self.images, self.labels = list(images), (list(labels) if labels is not None else None)
         self.image_size, self.batch_size = image_size, batch_size
         self.shuffle, self.seed = shuffle, seed
+        self.device_resident = device_resident
+        self._dev = None  # (x_u8 (N,S,S,3), y_u8 (N,S,S,1) | None)
 
     def __len__(self):
         return max(1, (len(self.images) + self.batch_size - 1) // self.batch_size) if self.images else 0
+
+    def _ensure_device_stack(self):
+        import cv2
+        import jax.numpy as jnp
+
+        if self._dev is not None or not self.images:
+            return
+        size = self.image_size
+        xs = np.stack([
+            cv2.resize(cv2.imread(p, cv2.IMREAD_COLOR), (size, size)) for p in self.images
+        ]).astype(np.uint8)
+        ys = None
+        if self.labels is not None:
+            ys = np.stack([
+                cv2.resize(cv2.imread(p, cv2.IMREAD_GRAYSCALE), (size, size),
+                           interpolation=cv2.INTER_LINEAR) for p in self.labels
+            ]).astype(np.uint8)[..., None]
+        self._dev = (jnp.asarray(xs), jnp.asarray(ys) if ys is not None else None)
 
     def epoch(self, epoch=0):
         order = np.arange(len(self.images))
         if self.shuffle:
             order = np.random.default_rng((self.seed, epoch)).permutation(order)
+        if self.device_resident:
+            import jax.numpy as jnp
+
+            self._ensure_device_stack()
+            xd, yd = self._dev
+            for s in range(0, len(order), self.batch_size):
+                idx = jnp.asarray(order[s : s + self.batch_size])
+                x = jnp.take(xd, idx, axis=0).astype(jnp.float32) / 255.0
+                if yd is None:
+                    yield x
+                else:
+                    yield x, jnp.take(yd, idx, axis=0).astype(jnp.float32) / 255.0
+            return
         for s in range(0, len(order), self.batch_size):
             idx = order[s : s + self.batch_size]
             x = np.stack([load_image_cv2(self.images[i], self.image_size) for i in idx])
