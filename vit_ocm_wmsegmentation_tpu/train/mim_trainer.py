@@ -137,13 +137,26 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         end = time.time()
         from ..data.prefetch import prefetch
 
+        # loss/grad-norm stay on device between log points: a float() per
+        # iteration is a host round-trip that serializes the dispatch
+        # pipeline (60% overhead on a high-latency device link)
+        pending = []
+
+        def drain():
+            if not pending:
+                return
+            for dl, dg, bsz in pending:
+                loss_meter.update(float(dl), bsz)
+                norm_meter.update(float(dg))
+            batch_time.update((time.time() - end) / len(pending), len(pending))
+            pending.clear()
+
         for idx, (img, mask) in enumerate(prefetch(loader.epoch(epoch), sharding=batch_sh)):
             params, opt_state, loss, gnorm = step_fn(params, opt_state, jnp.asarray(img), jnp.asarray(mask))
-            loss_meter.update(float(loss), img.shape[0])
-            norm_meter.update(float(gnorm))
-            batch_time.update(time.time() - end)
-            end = time.time()
+            pending.append((loss, gnorm, img.shape[0]))
             if idx % cfg.PRINT_FREQ == 0:
+                drain()
+                end = time.time()
                 t = epoch * n_iter + idx
                 lr = float(schedule(jnp.asarray(t)))
                 etas = batch_time.avg * (n_iter - idx)
@@ -157,6 +170,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
                 if use_wandb:
                     wandb.log({"epoch": epoch, "train_loss": loss_meter.val,
                                "train_loss_avg": loss_meter.avg, "lr": lr}, step=epoch)
+        drain()
         logger.info(f"EPOCH {epoch} training takes {datetime.timedelta(seconds=int(time.time() - epoch_start))}")
 
         if use_wandb and loss_meter.count > 0:

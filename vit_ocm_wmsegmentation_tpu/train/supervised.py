@@ -264,7 +264,8 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
         tl = []
         for x, y in batches(train_loader, epoch):
             params, state, opt_state, loss = train_step(params, state, opt_state, cur_lr, x, y)
-            tl.append(float(loss))
+            tl.append(loss)  # device scalar; one sync per epoch, not per batch
+        tl = [float(l) for l in tl]
         vl = [float(eval_step(params, state, x, y)) for x, y in batches(valid_loader, epoch)]
         train_loss = float(np.mean(tl)) if tl else float("nan")
         valid_loss = float(np.mean(vl)) if vl else float("nan")
