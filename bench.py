@@ -60,7 +60,7 @@ def main():
     # the next input — identical shapes/compute, forced serial dependency)
     # and the clock stops on a scalar host transfer.
     def chain(im, mask):
-        return jnp.bitwise_xor(img, mask & jnp.uint8(1))
+        return jnp.bitwise_xor(im, mask & jnp.uint8(1))
 
     mask, attn = run(img)
     mask, attn = run(chain(img, mask))

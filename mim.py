@@ -62,6 +62,9 @@ def main():
     if use_wandb:
         wandb.init(project="mim", name=f"{cfg.TAG}_{cfg.DATA.IMG_SIZE}_{cfg.DATA.BATCH_SIZE}B", config=dict(cfg))
 
+    if cfg.DATA.DEVICE_AUG and cfg.roi_masking:
+        logger.warning("DATA.DEVICE_AUG ignored: roi_masking needs host CC labeling, "
+                       "falling back to the host augmentation loader")
     if cfg.DATA.DEVICE_AUG and not cfg.roi_masking:
         # the whole SimMIM transform runs on device (data/device_aug.py);
         # the host only decodes. ROI masking needs host CC labeling.
@@ -82,7 +85,7 @@ def main():
 
     eval_fn = None
     if cfg.eval_dataset_path:
-        samples = build_eval_samples(cfg.eval_dataset_path, cfg.DATA.IMG_SIZE)
+        samples = build_eval_samples(cfg.eval_dataset_path, cfg.DATA.IMG_SIZE, crop=int(cfg.crop))
 
         def eval_fn(params, vit_cfg, epoch):
             evaluation.validate(params, vit_cfg, samples, method=cfg.method,
@@ -90,7 +93,8 @@ def main():
                                 logger=logger, wandb=wandb if use_wandb else None, epoch=epoch)
 
     mesh = make_mesh() if len(jax.devices()) > 1 else None
-    train_mim(cfg, loader, eval_fn, mesh=mesh, logger=logger, use_wandb=use_wandb)
+    train_mim(cfg, loader, eval_fn, mesh=mesh, logger=logger, use_wandb=use_wandb,
+              wandb=wandb if use_wandb else None)
     if use_wandb:
         wandb.finish()
 

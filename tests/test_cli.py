@@ -36,6 +36,42 @@ def test_cli_help(script):
     assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
 
 
+def test_mim_crop_eval_wiring(tmp_path, monkeypatch):
+    """Regression: mim.py with --crop 4 + eval_dataset_path must build eval
+    samples with the crop grid (crop>1 validate needs sample.crop_image);
+    round 2 briefly built them crop-less and crashed on the first epoch's
+    eval. Runs mim.main() in-process with a tiny monkeypatched model."""
+    import numpy as np
+    from PIL import Image
+
+    import mim
+    import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+    from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+
+    rng = np.random.default_rng(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(8):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            img_dir / f"im{i}.png")
+    for sub in ("images", "labels"):
+        (tmp_path / "eval" / sub).mkdir(parents=True)
+    for i in range(2):
+        Image.fromarray((rng.random((32, 32)) * 255).astype(np.uint8)).save(
+            tmp_path / "eval" / "images" / f"e{i}.png")
+        Image.fromarray(((rng.random((32, 32)) > 0.5) * 255).astype(np.uint8)).save(
+            tmp_path / "eval" / "labels" / f"e{i}.png")
+
+    monkeypatch.setattr(simmim_mod, "mim_vit_config", lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img))
+    monkeypatch.setattr(sys, "argv", [
+        "mim.py", "--image_path", str(img_dir), "--image_size", "32",
+        "--batch_size", "8", "--epochs", "1", "--warmup_epochs", "0",
+        "--eval_dataset_path", str(tmp_path / "eval"), "--crop", "4",
+        "--output", str(tmp_path / "out"), "--output_dir", str(tmp_path / "out")])
+    mim.main()  # crashes with AssertionError on unfixed wiring
+
+
 def test_sweep_dry_run():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(

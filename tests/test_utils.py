@@ -65,6 +65,21 @@ def test_wandb_shim_writes_offline_panels(tmp_path):
     wandb.finish()
 
 
+def test_wandb_shim_image_dtype_semantics():
+    """wandb.Image parity: uint8 passes through (no contrast stretch), floats
+    in [0,1] scale by 255, constant panels keep their shade (a fully-masked
+    all-255 'Mask' panel must not be written as black)."""
+    from vit_ocm_wmsegmentation_tpu.utils.wandb_shim import _to_u8
+
+    u8 = np.array([[100, 140], [0, 255]], dtype=np.uint8)
+    assert np.array_equal(_to_u8(u8), u8)  # no min-max stretch
+    assert np.array_equal(_to_u8(np.full((4, 4), 255, np.uint8)),
+                          np.full((4, 4), 255, np.uint8))
+    f01 = np.array([[0.0, 0.5], [1.0, 0.25]], dtype=np.float32)
+    assert np.array_equal(_to_u8(f01), np.array([[0, 127], [255, 63]], np.uint8))
+    assert np.array_equal(_to_u8(np.full((2, 2), 300.0)), np.full((2, 2), 255, np.uint8))
+
+
 def test_save_threshold_outputs_writes_artifact_set(tmp_path):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (32, 32), dtype=np.uint8)

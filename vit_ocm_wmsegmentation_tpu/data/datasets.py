@@ -221,9 +221,10 @@ class DeviceAugLoader:
         self.max_resident_bytes = max_resident_bytes
         self._host_src: np.ndarray | None = None  # (N, H, W[, 3]) uint8
         self._dev_src = None  # same, device-resident (or None if too big)
+        self._n: int | None = None  # decoded image count
 
     def _ensure_sources(self):
-        if self._host_src is not None:
+        if self._n is not None:
             return
         arrs = []
         canonical = None
@@ -246,20 +247,25 @@ class DeviceAugLoader:
             arrs.append(a)
         if not arrs:
             self._host_src = np.zeros((0, 1, 1), np.uint8)
+            self._n = 0
             return
         src = np.stack(arrs)
         if all_gray:
             src = src[..., 0]  # single channel over the wire and in HBM
-        self._host_src = src
+        self._n = len(src)
         if src.nbytes <= self.max_resident_bytes:
             import jax.numpy as jnp
 
-            self._dev_src = jnp.asarray(src)  # one transfer, resident forever
+            self._dev_src = jnp.asarray(src)  # one transfer, resident forever;
+            # the host copy is never read again — drop it rather than pinning
+            # a second full-dataset copy in RAM for the process lifetime
+        else:
+            self._host_src = src
 
     def __len__(self):
         self._ensure_sources()
-        n = len(self._host_src) // self.batch_size
-        if not self.drop_last and len(self._host_src) % self.batch_size:
+        n = self._n // self.batch_size
+        if not self.drop_last and self._n % self.batch_size:
             n += 1
         return max(n, 0)
 
@@ -270,7 +276,7 @@ class DeviceAugLoader:
         from .device_aug import simmim_augment
 
         self._ensure_sources()
-        n = len(self._host_src)
+        n = self._n
         rng = np.random.default_rng((self.seed, epoch))
         order = rng.permutation(n)
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed), epoch)

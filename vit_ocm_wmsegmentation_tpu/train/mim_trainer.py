@@ -69,17 +69,21 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
     return jax.jit(step, donate_argnums=(0, 1))
 
 
-def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=False):
+def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=False,
+              wandb=None):
     """Full pretraining driver. Returns (params, history).
 
     cfg: utils.config tree; loader: data.Loader; eval_fn(params, vit_cfg,
-    epoch) optionally runs validation each epoch (mim.py:221).
+    epoch) optionally runs validation each epoch (mim.py:221). Pass the
+    caller's wandb client/shim so one run logs to one place; when omitted
+    a file-backed shim rooted at cfg.OUTPUT is resolved here.
     """
     from ..utils.logger import create_logger
     from ..utils.wandb_shim import get_wandb
 
     logger = logger or create_logger(cfg.OUTPUT, name=f"{cfg.MODEL.NAME}_{cfg.MODEL.PATCH_SIZE}")
-    wandb, use_wandb = get_wandb(use_wandb or cfg.WANDB, output_dir=cfg.OUTPUT)
+    if wandb is None:
+        wandb, use_wandb = get_wandb(use_wandb or cfg.WANDB, output_dir=cfg.OUTPUT)
 
     vit_cfg = simmim.mim_vit_config(cfg.DATA.IMG_SIZE, cfg.MODEL.PATCH_SIZE)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))

@@ -18,16 +18,16 @@ import numpy as np
 
 
 def _to_u8(arr) -> np.ndarray:
-    """Min-max normalize any 2-D/3-D array to uint8 (what wandb.Image does
-    to float inputs)."""
-    a = np.asarray(arr, dtype=np.float32)
-    a = np.squeeze(a)
-    lo, hi = float(a.min()), float(a.max())
-    if hi > lo:
-        a = (a - lo) / (hi - lo)
-    else:
-        a = np.zeros_like(a)
-    return (a * 255.0).astype(np.uint8)
+    """wandb.Image dtype handling: integer data is already 0-255 (clip);
+    float data in [0, 1] is scaled by 255; other float data is clipped to
+    [0, 255]. No contrast stretching — a constant panel stays that shade."""
+    a = np.squeeze(np.asarray(arr))
+    if np.issubdtype(a.dtype, np.integer) or a.dtype == np.bool_:
+        return np.clip(a, 0, 255).astype(np.uint8)
+    a = a.astype(np.float32)
+    if a.size and a.min() >= 0.0 and a.max() <= 1.0:
+        a = a * 255.0
+    return np.clip(a, 0.0, 255.0).astype(np.uint8)
 
 
 class _FileImage:
