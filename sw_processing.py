@@ -5,19 +5,30 @@ TPU-native rebuild of the reference sw_processing.py: instead of 49
 sequential single-tile forwards plus O(H*W) Python blending loops, the mosaic
 stays HBM-resident — one batched tile gather, one vmapped ViT forward over
 the tile batch, and the ramp-blended stitch as a fused overlap-add.
+
+``--image_path`` may also be a directory: every image in it is segmented as
+a pipelined stream — a prefetch thread decodes and uploads mosaic i+2 while
+the chip computes i+1 and the host writes back i, so neither the ~host-link
+upload nor PNG encoding stalls the accelerator (serving mode; the reference
+processes exactly one image per process, sw_processing.py:165-266).
 """
 
 import argparse
 import os
+import time
+from collections import deque
+from glob import glob
 
 import numpy as np
 from PIL import Image
 
+import jax
 import jax.numpy as jnp
 
 from vit_ocm_wmsegmentation_tpu import pipeline as pl
-from vit_ocm_wmsegmentation_tpu.cli import create_dir, imsave, load_model
-from vit_ocm_wmsegmentation_tpu.ops.threshold import threshold_multiplicative
+from vit_ocm_wmsegmentation_tpu.cli import create_dir, imsave, imsave_fast, load_model
+from vit_ocm_wmsegmentation_tpu.data.prefetch import prefetch
+from vit_ocm_wmsegmentation_tpu.ops.threshold import min_max_normalize, threshold_multiplicative
 
 
 def parse_args():
@@ -47,21 +58,92 @@ def main():
     size = tuple(args.image_size) if len(args.image_size) == 2 else (args.image_size[0],) * 2
     params, cfg, _ = load_model(args.arch, args.patch_size, args.pretrained_weights, args.checkpoint_key)
 
-    img = Image.open(args.image_path).convert("RGB").resize((size[1], size[0]))
-    gray = np.asarray(img.convert("L"), np.uint8)
-    create_dir(args.output_dir)
-
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.bf16:
         params = pl.cast_params(params, jnp.bfloat16)
-    mask, attn = pl.segment_mosaic(params, cfg, jnp.asarray(gray), args.window_size, args.stride,
-                                   dtype=dtype)
-    attn = np.asarray(attn)
-    imsave(os.path.join(args.output_dir, "attention_map_sw.jpg"), attn)
-    _, _, heatmap_otsu = threshold_multiplicative(jnp.asarray(gray), jnp.asarray(attn))
-    imsave(os.path.join(args.output_dir, "otsu_sw_heatmap.jpg"), np.asarray(heatmap_otsu), cmap="gray")
-    imsave(os.path.join(args.output_dir, "otsu_sw.jpg"), np.asarray(mask), cmap="gray")
-    print(f"tiles processed in one fused graph; output in {args.output_dir}")
+    create_dir(args.output_dir)
+
+    def segment(gray_dev):
+        mask, attn = pl.segment_mosaic(params, cfg, gray_dev, args.window_size, args.stride,
+                                       dtype=dtype)
+        _, _, heatmap_otsu = threshold_multiplicative(gray_dev, attn)
+        return mask, attn, heatmap_otsu
+
+    def write(out_dir, mask, attn, heatmap_otsu):
+        create_dir(out_dir)
+        imsave(os.path.join(out_dir, "attention_map_sw.jpg"), np.asarray(attn))
+        imsave(os.path.join(out_dir, "otsu_sw_heatmap.jpg"), np.asarray(heatmap_otsu), cmap="gray")
+        imsave(os.path.join(out_dir, "otsu_sw.jpg"), np.asarray(mask), cmap="gray")
+
+    if not os.path.isdir(args.image_path):
+        img = Image.open(args.image_path).convert("RGB").resize((size[1], size[0]))
+        gray = jnp.asarray(np.asarray(img.convert("L"), np.uint8))
+        write(args.output_dir, *segment(gray))
+        print(f"tiles processed in one fused graph; output in {args.output_dir}")
+        return
+
+    # serving mode: stream every mosaic in the folder through a 3-stage
+    # software pipeline (decode+upload | compute | write-back), each stage
+    # one mosaic ahead of the next — the chip never idles on IO
+    paths = sorted(p for p in glob(os.path.join(args.image_path, "*"))
+                   if p.lower().endswith((".png", ".jpg", ".jpeg", ".tif", ".tiff", ".bmp")))
+    if not paths:
+        raise SystemExit(f"no images found in {args.image_path}")
+
+    def produce():
+        for p in paths:  # runs on the prefetch thread: decode, resize, upload
+            img = Image.open(p).convert("RGB").resize((size[1], size[0]))
+            gray = np.asarray(img.convert("L"), np.uint8)
+            yield os.path.splitext(os.path.basename(p))[0], jax.device_put(gray)
+
+    def segment_stream(gray_dev):
+        mask, attn, heat = segment(gray_dev)
+        # quantize the attention map to viridis LUT indices ON DEVICE
+        # (matplotlib's own 256-level quantization: floor(norm*256) clipped)
+        # so the wire carries uint8, and write-back is a LUT gather + PNG
+        idx = jnp.clip(jnp.floor(min_max_normalize(attn) * 256.0), 0, 255).astype(jnp.uint8)
+        outs = (mask, idx, heat)
+        for a in outs:  # start device->host DMA now, behind the compute
+            a.copy_to_host_async()
+        return outs
+
+    def write_stream(out_dir, mask, attn_idx, heat):
+        create_dir(out_dir)
+        imsave_fast(os.path.join(out_dir, "attention_map_sw.jpg"), attn_idx)
+        imsave_fast(os.path.join(out_dir, "otsu_sw_heatmap.jpg"), heat, cmap="gray")
+        imsave_fast(os.path.join(out_dir, "otsu_sw.jpg"), mask, cmap="gray")
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    writer = ThreadPoolExecutor(max_workers=1)  # PNG encode off the dispatch path
+    inflight = deque()  # (name, device results) dispatched but not written
+    pending = deque()  # bounded writer backlog
+    t0 = time.perf_counter()
+    t_first = None
+    for name, gray in prefetch(produce(), depth=2):
+        inflight.append((name, segment_stream(gray)))  # async dispatch
+        if len(inflight) > 1:
+            done, outs = inflight.popleft()
+            pending.append(writer.submit(write_stream, os.path.join(args.output_dir, done), *outs))
+            while len(pending) > 2:
+                pending.popleft().result()
+            if t_first is None:
+                t_first = time.perf_counter()
+    while inflight:
+        done, outs = inflight.popleft()
+        pending.append(writer.submit(write_stream, os.path.join(args.output_dir, done), *outs))
+    for f in pending:
+        f.result()
+    writer.shutdown()
+    dt = time.perf_counter() - t0
+    mp_one = size[0] * size[1] / 1e6
+    mp = len(paths) * mp_one
+    steady = ""
+    if t_first is not None and len(paths) > 1:
+        rate = (len(paths) - 1) * mp_one / (time.perf_counter() - t_first)
+        steady = f" ({rate:.2f} MP/s steady-state after first-mosaic compile)"
+    print(f"streamed {len(paths)} mosaics ({mp:.1f} MP) in {dt:.2f}s = "
+          f"{mp / dt:.2f} MP/s incl. one-time compile{steady}; output in {args.output_dir}")
 
 
 if __name__ == "__main__":

@@ -72,6 +72,36 @@ def test_mim_crop_eval_wiring(tmp_path, monkeypatch):
     mim.main()  # crashes with AssertionError on unfixed wiring
 
 
+def test_sw_processing_stream_mode(tmp_path, monkeypatch):
+    """Directory input streams every mosaic through the pipelined
+    decode|compute|write stages and writes one artifact set per image."""
+    import numpy as np
+    from PIL import Image
+
+    import sw_processing
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params = vit.init(cfg, __import__("jax").random.PRNGKey(0))
+    monkeypatch.setattr(sw_processing, "load_model",
+                        lambda *a, **k: (params, cfg, "random"))
+
+    rng = np.random.default_rng(3)
+    src = tmp_path / "mosaics"
+    src.mkdir()
+    for i in range(3):
+        Image.fromarray((rng.random((64, 64)) * 255).astype(np.uint8)).save(src / f"m{i}.png")
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "sw_processing.py", "--image_path", str(src), "--image_size", "96",
+        "--window_size", "48", "--stride", "16", "--output_dir", str(out)])
+    sw_processing.main()
+    for i in range(3):
+        for f in ("attention_map_sw.jpg", "otsu_sw_heatmap.jpg", "otsu_sw.jpg"):
+            assert (out / f"m{i}" / f).exists()
+
+
 def test_sweep_dry_run():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(

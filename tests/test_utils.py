@@ -80,6 +80,28 @@ def test_wandb_shim_image_dtype_semantics():
     assert np.array_equal(_to_u8(np.full((2, 2), 300.0)), np.full((2, 2), 255, np.uint8))
 
 
+def test_imsave_fast_matches_matplotlib_viridis(tmp_path):
+    """The streaming writer's device-side quantization + LUT gather must
+    reproduce plt.imsave's default-colormap PNG pixel-for-pixel."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from matplotlib import pyplot as plt
+    from PIL import Image
+
+    from vit_ocm_wmsegmentation_tpu.cli import imsave_fast
+
+    rng = np.random.default_rng(7)
+    arr = rng.random((16, 16)).astype(np.float32) * 3.0 - 1.0
+    plt.imsave(str(tmp_path / "mpl.png"), arr, format="png")
+    norm = (arr - arr.min()) / (arr.max() - arr.min())
+    idx = np.clip(np.floor(norm * 256.0), 0, 255).astype(np.uint8)
+    imsave_fast(str(tmp_path / "fast.png"), idx)
+    a = np.asarray(Image.open(tmp_path / "mpl.png").convert("RGB"))
+    b = np.asarray(Image.open(tmp_path / "fast.png").convert("RGB"))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_save_threshold_outputs_writes_artifact_set(tmp_path):
     rng = np.random.default_rng(0)
     img = rng.integers(0, 255, (32, 32), dtype=np.uint8)
