@@ -184,6 +184,22 @@ def test_crop_source_matches_reference_pil_flow(dataset):
         ours = sample.crop_image.reshape(2, 24, 2, 24, 3).transpose(0, 2, 1, 3, 4).reshape(4, 24, 24, 3)
         for a, b in zip(ours, ref_crops):
             np.testing.assert_array_equal(a, b)
-        # eval.py:160-167: img = concat_crops(crops channel 0) -> convert L
+        # eval.py:160-167: img = concat_crops(crops CHANNEL 0), replicated to
+        # RGB, then convert('L') — L of an R-replicated image IS the R plane
         np.testing.assert_array_equal(
-            sample.crop_gray, np.asarray(to_be_croped.convert("L")))
+            sample.crop_gray, np.asarray(to_be_croped)[..., 0])
+
+
+def test_crop_gray_is_channel0_for_color_sources(tmp_path):
+    """For a color source the reference's crop>1 gray (channel 0 replicated,
+    eval.py:161-166) differs from PIL luma; pin the channel-0 semantics."""
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    Image.fromarray(img).save(tmp_path / "images" / "c.png")
+    Image.fromarray(np.zeros((48, 48), np.uint8)).save(tmp_path / "labels" / "c.png")
+    sample = build_eval_samples(str(tmp_path), 48, crop=4)[0]
+    resized = Image.open(tmp_path / "images" / "c.png").convert("RGB").resize((48, 48))
+    np.testing.assert_array_equal(sample.crop_gray, np.asarray(resized)[..., 0])
+    assert not np.array_equal(sample.crop_gray, np.asarray(resized.convert("L")))

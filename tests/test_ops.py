@@ -67,6 +67,12 @@ def test_yen_matches_skimage_semantics(seed):
     assert got == want
 
 
+def test_yen_constant_image_returns_constant():
+    """skimage's bins reduce to the single occupied value for a flat image;
+    returning 0 would be wrong for any consumer of the threshold value."""
+    assert float(TH.yen_threshold_u8(jnp.full((32, 32), 200, jnp.uint8))) == 200.0
+
+
 def test_yen_restricted_range():
     img = np.clip(_u8((64, 64), 5, bimodal=True), 40, 200)
     assert float(TH.yen_threshold_u8(jnp.asarray(img))) == _yen_oracle(img)
@@ -226,6 +232,55 @@ def test_chan_vese_segments_two_regions():
     inside = seg[20:44, 20:44].mean()
     border = np.concatenate([seg[:8].ravel(), seg[-8:].ravel()]).mean()
     assert inside > 0.95 and border < 0.05
+
+
+def _skimage_chan_vese_oracle(image, mu=0.25, lambda1=1.0, lambda2=1.0,
+                              tol=1e-3, max_num_iter=200, dt=0.5):
+    """Transliterated skimage.segmentation.chan_vese (float64 numpy; the
+    library is not installed in this image). Mirrors _cv_calculate_variation
+    incl. _cv_delta(x, eps=1) = eps/(eps^2+x^2) — no 1/pi prefactor."""
+    img = image.astype(np.float64)
+    img = img - img.min()
+    if img.max() != 0:
+        img = img / img.max()
+    yy, xx = np.mgrid[0:img.shape[0], 0:img.shape[1]]
+    phi = np.sin(np.pi / 5 * yy) * np.sin(np.pi / 5 * xx)
+    eta = 1e-16
+    i, phivar = 0, np.inf
+    while phivar > tol and i < max_num_iter:
+        p = np.pad(phi, 1, mode="edge")
+        phixp = p[1:-1, 2:] - p[1:-1, 1:-1]
+        phixn = p[1:-1, 1:-1] - p[1:-1, :-2]
+        phix0 = (p[1:-1, 2:] - p[1:-1, :-2]) / 2.0
+        phiyp = p[2:, 1:-1] - p[1:-1, 1:-1]
+        phiyn = p[1:-1, 1:-1] - p[:-2, 1:-1]
+        phiy0 = (p[2:, 1:-1] - p[:-2, 1:-1]) / 2.0
+        c1c = 1.0 / np.sqrt(eta + phixp**2 + phiy0**2)
+        c2c = 1.0 / np.sqrt(eta + phixn**2 + phiy0**2)
+        c3c = 1.0 / np.sqrt(eta + phix0**2 + phiyp**2)
+        c4c = 1.0 / np.sqrt(eta + phix0**2 + phiyn**2)
+        k = (p[1:-1, 2:] * c1c + p[1:-1, :-2] * c2c
+             + p[2:, 1:-1] * c3c + p[:-2, 1:-1] * c4c)
+        inside = phi > 0
+        c1 = img[inside].mean() if inside.any() else 0.0
+        c2 = img[~inside].mean() if (~inside).any() else 0.0
+        delta = dt / (1.0 + phi**2)
+        diff = -lambda1 * (img - c1) ** 2 + lambda2 * (img - c2) ** 2
+        new_phi = (phi + delta * (mu * k + diff)) / (
+            1.0 + mu * delta * (c1c + c2c + c3c + c4c))
+        phivar = np.sqrt(((new_phi - phi) ** 2).mean())
+        phi = new_phi
+        i += 1
+    return phi > 0
+
+
+@pytest.mark.parametrize("seed,bimodal", [(15, True), (4, False)])
+def test_chan_vese_matches_skimage_oracle(seed, bimodal):
+    img = _u8((48, 48), seed, bimodal)
+    got = np.asarray(chan_vese.chan_vese(jnp.asarray(img)))
+    want = _skimage_chan_vese_oracle(img)
+    # f32 device vs f64 oracle: only phi~0 border pixels may flip
+    assert (got == want).mean() > 0.995, (got == want).mean()
 
 
 def test_chan_vese_checkerboard_init_matches_skimage_formula():

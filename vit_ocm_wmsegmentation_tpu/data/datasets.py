@@ -79,7 +79,11 @@ def build_eval_samples(eval_dataset_path: str, image_size: int, crop: int = 1) -
         crop_rgb = crop_gray = None
         if crop > 1:
             crop_rgb = load_rgb_resized(ip, (image_size, image_size), Image.Resampling.BICUBIC)
-            crop_gray = load_gray_resized(ip, (image_size, image_size), Image.Resampling.BICUBIC)
+            # the reference's crop>1 gray is CHANNEL 0 of the re-assembled
+            # crops replicated to RGB (eval.py:161-166: temp[0][0..2] = img
+            # from images[i,:,0,:,:]), NOT a luma conversion; the f32
+            # /255*255 round-trip is uint8-exact, so this is the R plane
+            crop_gray = np.round(crop_rgb[..., 0] * 255.0).astype(np.uint8)
         gray_exact = bool(
             np.array_equal(rgb[..., 0], rgb[..., 1])
             and np.array_equal(rgb[..., 1], rgb[..., 2])

@@ -40,14 +40,6 @@ METHODS = (
 )
 
 
-def _mult_blend_u8(img_u8, attention):
-    """img * attn / attn.max(), truncated — the kmeans/chan_vese input
-    (utils.py:121,203; note: no min-max, unlike threshold())."""
-    a = attention.astype(jnp.float32)
-    a = a / jnp.maximum(jnp.max(a), 1e-38)
-    return (img_u8.astype(jnp.float32) * a).astype(jnp.uint8)
-
-
 @partial(jax.jit, static_argnames=("method",))
 def apply_method(img_u8, attention, method: str):
     """Attention map + gray image -> {0,255} uint8 mask for one image."""
@@ -59,7 +51,7 @@ def apply_method(img_u8, attention, method: str):
     if method == "k-means":
         return cluster.kmeans_mask_image(img_u8)
     if method == "chan-vese_ours":
-        seg = chan_vese(_mult_blend_u8(img_u8, attention))
+        seg = chan_vese(th.mult_blend_u8(img_u8, attention))
         return seg.astype(jnp.uint8) * jnp.uint8(255)
     if method == "chan-vese":
         seg = chan_vese(img_u8)
@@ -106,14 +98,23 @@ def _image_attention(params, cfg, sample, crop: int, median_size: int, dtype=jnp
         return attn, jnp.asarray(sample.gray)
     assert sample.crop_image is not None, "crop>1 needs build_eval_samples(..., crop=crop)"
     g = int(np.sqrt(crop))
+    attn = _crop_attention(params, cfg, jnp.asarray(sample.crop_image), g, median_size, dtype)
+    return attn, jnp.asarray(sample.crop_gray)
+
+
+@partial(jax.jit, static_argnames=("cfg", "g", "median_size", "dtype"))
+def _crop_attention(params, cfg, crop_image, g, median_size, dtype):
+    """crop>1 grid attention as ONE dispatch (tile cut -> batched ViT ->
+    concat -> smooth); eager composition here would cost hundreds of
+    per-op round-trips per image over a high-latency device link."""
+    h, w, _ = crop_image.shape
     ch, cw = h // g, w // g
-    tiles = jnp.asarray(sample.crop_image).reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
+    tiles = crop_image.reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
     grids = head_average_attention(params, cfg, tiles.astype(dtype), median_size).astype(jnp.float32)
     p = cfg.patch_size
     maps = jax.vmap(lambda gr: jnp.repeat(jnp.repeat(gr, p, 0), p, 1))(grids)
     recon = concat_crops(maps)
-    attn = smooth_attention(recon[::p, ::p], p, (h, w))
-    return attn, jnp.asarray(sample.crop_gray)
+    return smooth_attention(recon[::p, ::p], p, (h, w))
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "median_size", "dtype"))
@@ -168,9 +169,10 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
     """Returns (acc_avg, f1_avg, loss_avg), logging per image like the
     reference validate().
 
-    batch_size > 1 (crop==1, threshold methods only) batches the whole
-    per-image pipeline into one device dispatch per chunk — identical
-    numbers, far less host/dispatch overhead.
+    batch_size > 1 (crop==1; threshold and k-means methods — chan-vese and
+    feature clustering stay per-image) batches the whole per-image pipeline
+    into one device dispatch per chunk — identical numbers, far less
+    host/dispatch overhead.
 
     dtype=jnp.bfloat16 (eval.py --bf16 1) runs the ViT in MXU-native bf16;
     attention maps leave the model in f32 and all smoothing/threshold/metric

@@ -49,7 +49,10 @@ def _variation(image, phi, mu, lambda1, lambda2, dt):
 
     k = p[1:-1, 2:] * c1c + p[1:-1, :-2] * c2c + p[2:, 1:-1] * c3c + p[:-2, 1:-1] * c4c
     c1, c2 = _averages(image, phi)
-    delta = dt / (jnp.pi * (1.0 + phi * phi))  # smoothed Dirac * dt
+    # skimage's _cv_delta(x, eps=1) = eps/(eps^2+x^2): the classic smoothed
+    # Dirac's 1/pi prefactor is deliberately absent there, and parity means
+    # matching their evolution rate exactly
+    delta = dt / (1.0 + phi * phi)
     diff = -lambda1 * (image - c1) ** 2 + lambda2 * (image - c2) ** 2
     new_phi = phi + delta * (mu * k + diff)
     return new_phi / (1.0 + mu * delta * (c1c + c2c + c3c + c4c))

@@ -89,11 +89,9 @@ def kmeans_mask_ours(img_u8, attention):
     threshold(), kmeans() does NOT min-max the attention: it scales the raw
     map by its max (utils.py:121).
     """
-    from .threshold import otsu_binary_u8
+    from .threshold import mult_blend_u8, otsu_binary_u8
 
-    attn = attention.astype(jnp.float32)
-    attn = attn / jnp.maximum(jnp.max(attn), 1e-38)
-    result = (img_u8.astype(jnp.float32) * attn).astype(jnp.uint8)
+    result = mult_blend_u8(img_u8, attention)
     pts = result.reshape(-1, 3).astype(jnp.float32)
     labels, centers = kmeans2(pts)
     centers_u8 = centers.astype(jnp.uint8)

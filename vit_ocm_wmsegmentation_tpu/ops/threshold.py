@@ -100,13 +100,25 @@ def yen_threshold_u8(img_u8):
     crit = jnp.log(num / denom)
     valid = (bins[:-1] >= lo) & (bins[:-1] < hi)
     crit = jnp.where(valid & jnp.isfinite(crit), crit, -jnp.inf)
-    return bins[jnp.argmax(crit)]
+    # constant image: no valid split point exists and skimage returns the
+    # single occupied bin's center (= the constant), not bin 0
+    return jnp.where(lo == hi, bins[lo], bins[jnp.argmax(crit)])
 
 
 def yen_binary_u8(img_u8):
     """utils.py:237-248: binary = (yen_thresh <= img)."""
     t = yen_threshold_u8(img_u8)
     return img_u8.astype(jnp.float32) >= t
+
+
+def mult_blend_u8(img_u8, attention):
+    """img * attn / attn.max(), truncated to uint8 — the kmeans/chan_vese
+    input (utils.py:121,203). NOTE: raw-max scaling only, no min-max (unlike
+    threshold()/blend_ours); shared by evaluation.apply_method and
+    cluster.kmeans_mask_ours so the quirk can't drift."""
+    a = attention.astype(jnp.float32)
+    a = a / jnp.maximum(jnp.max(a), 1e-38)
+    return (img_u8.astype(jnp.float32) * a).astype(jnp.uint8)
 
 
 def blend_ours(img_u8, attention, alpha=0.4):

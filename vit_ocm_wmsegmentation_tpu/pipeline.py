@@ -131,10 +131,10 @@ def pad_mosaic(img_u8, window, stride):
         k = -(-(size - window) // stride)
         return window + k * stride
 
-    th, tw = target(h), target(w)
-    if (th, tw) == (h, w):
+    target_h, target_w = target(h), target(w)
+    if (target_h, target_w) == (h, w):
         return img_u8, (h, w)
-    return jnp.pad(img_u8, ((0, th - h), (0, tw - w)), mode="edge"), (h, w)
+    return jnp.pad(img_u8, ((0, target_h - h), (0, target_w - w)), mode="edge"), (h, w)
 
 
 def mosaic_tiles(img_u8, window, stride):
@@ -142,7 +142,7 @@ def mosaic_tiles(img_u8, window, stride):
     h, w = img_u8.shape
     ys = st.tile_starts(h, window, stride)
     xs = st.tile_starts(w, window, stride)
-    return st.extract_tiles(img_u8, ys, xs, window), len(ys), len(xs)
+    return st.extract_tiles(img_u8, ys, xs, window)
 
 
 def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1, dtype=jnp.float32):
@@ -167,7 +167,7 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     per-tile normalize/smooth -> ramp-blended overlap-add stitch.
     """
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
-    tiles, n_y, n_x = mosaic_tiles(padded, window, stride)
+    tiles = mosaic_tiles(padded, window, stride)
     maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
     stitched = st.stitch_blended(maps, window, stride, padded.shape)
     return stitched[:h, :w]
