@@ -219,6 +219,82 @@ def test_train_mim_end_to_end(tmp_path):
     assert any(d.startswith("ckpt_epoch_") for d in os.listdir(cfg.OUTPUT))
 
 
+def test_train_mim_bare_vit_pretrained_weights(tmp_path):
+    """A bare ViT checkpoint (DINO-style, no encoder./decoder. prefixes) must
+    init the encoder while KEEPING the fresh mask_token/decoder — replacing
+    the whole tree crashes the first step with KeyError('mask_token')."""
+    import torch
+
+    from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+    from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt_mod
+
+    src = vit_mod.init(CFG, jax.random.PRNGKey(7))
+    torch.save({k: torch.from_numpy(np.asarray(v)) for k, v in
+                ckpt_mod.vit_params_to_torch(src, CFG).items()}, tmp_path / "vit.pth")
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(1)
+    for i in range(4):
+        Image.fromarray((rng.random((48, 48, 3)) * 255).astype(np.uint8)).save(
+            img_dir / f"im{i}.jpg")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.defrost()
+    cfg.PRETRAINED_WEIGHTS = str(tmp_path / "vit.pth")
+    cfg.freeze()
+    import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+
+    orig = simmim_mod.mim_vit_config
+    simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img)
+    try:
+        loader = build_simmim_loader(str(img_dir), batch_size=2, img_size=32,
+                                     mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
+        params, history = train_mim(cfg, loader, eval_fn=None)
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert np.isfinite(history).all()
+    # the encoder really came from the checkpoint (cls_token is pre-update
+    # only at epoch>0 start; compare patch_embed after 2 tiny epochs moved
+    # little) — weaker but sufficient: the loaded tree kept the decoder
+    assert "decoder" in params and "mask_token" in params
+
+
+def test_interpolate_pos_embed_uses_table_size():
+    """Reference derives the source grid from the pos table's own length
+    (vision_transformer.py:177): a table pretrained at another resolution
+    than cfg.pretrain_img_size must interpolate, not broadcast-crash."""
+    from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+
+    params = vit_mod.init(CFG, jax.random.PRNGKey(0))  # table grid 4 (32/8)
+    big = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    pretrain_img_size=48)  # pos_grid 6 != table grid
+    pos = vit_mod.interpolate_pos_embed(params, big, (6, 6))
+    assert pos.shape == (1, 37, 32) and bool(jnp.isfinite(pos).all())
+    x = jnp.zeros((1, 48, 48, 3), jnp.float32)
+    feats = vit_mod.forward_features(params, big, x)
+    assert feats.shape[1] == 37
+
+
+def test_reduce_lr_on_plateau_threshold():
+    """torch semantics: improvement needs metric < best*(1-1e-4); a loss
+    creeping down by 1e-6/epoch must still trigger the decay."""
+    from vit_ocm_wmsegmentation_tpu.train.supervised import ReduceLROnPlateau
+
+    sched = ReduceLROnPlateau(1.0, patience=5, factor=0.1)
+    lr = sched.step(1.0)
+    for i in range(6):  # 6 non-improving epochs (rel change ~1e-6)
+        lr = sched.step(1.0 - (i + 1) * 1e-6)
+    assert lr == pytest.approx(0.1)
+    # a real improvement resets the counter
+    sched2 = ReduceLROnPlateau(1.0, patience=2, factor=0.1)
+    sched2.step(1.0)
+    sched2.step(0.5)
+    sched2.step(0.51)
+    sched2.step(0.52)
+    assert sched2.step(0.4) == pytest.approx(1.0)
+
+
 def test_mask_generator_semantics():
     gen = MaskGenerator(input_size=32, mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
     rng = np.random.default_rng(2)

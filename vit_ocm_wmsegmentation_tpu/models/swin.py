@@ -102,7 +102,7 @@ def window_reverse(x, w: int, h: int, wid: int):
 
 
 def _block_init(key, dim, heads, window, mlp_ratio, dtype):
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 7)
     hidden = dim * mlp_ratio
 
     def lin(k, i, o):
@@ -119,7 +119,9 @@ def _block_init(key, dim, heads, window, mlp_ratio, dtype):
             "bias_table": nn.trunc_normal(keys[4], ((2 * window - 1) ** 2, heads), std=0.02, dtype=dtype),
         },
         "norm2": nn.layer_norm_init(dim, dtype),
-        "mlp": {"fc1": lin(keys[0], dim, hidden), "fc2": lin(keys[1], hidden, dim)},
+        # distinct keys: reusing the q/k keys here would correlate the MLP
+        # init with the attention projections in every from-scratch block
+        "mlp": {"fc1": lin(keys[5], dim, hidden), "fc2": lin(keys[6], hidden, dim)},
     }
 
 

@@ -123,8 +123,12 @@ def interpolate_pos_embed(params, cfg: ViTConfig, grid_hw):
     the scale factor. Static-shape: lowers to two einsums.
     """
     gh, gw = grid_hw
-    g = cfg.pos_grid
     pos = params["pos_embed"]
+    # like the reference (N = pos_embed.shape[1] - 1, vision_transformer.py:177),
+    # the source grid comes from the TABLE's actual size, not the config: a
+    # checkpoint pretrained at a different resolution than cfg.pretrain_img_size
+    # must still interpolate instead of broadcasting a mismatched table
+    g = math.isqrt(pos.shape[1] - 1)
     if gh == g and gw == g:
         return pos
     cls_pos, patch_pos = pos[:, :1], pos[:, 1:]

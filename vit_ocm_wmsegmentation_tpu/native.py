@@ -35,7 +35,12 @@ def load(build_if_missing: bool = True):
             return None
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        # a stale/foreign-arch .so (e.g. built with -march=native elsewhere)
+        # must degrade to the scipy fallback, not crash the ops dispatch
+        return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
     i32p = ctypes.POINTER(ctypes.c_int32)
     i64p = ctypes.POINTER(ctypes.c_int64)

@@ -67,7 +67,8 @@ def train_classifier(apply_fn, params, train_batches, eval_batches, *, epochs=3,
     opt_state = tx.init(params)
     train_step, eval_step = make_classifier_step(apply_fn, tx)
 
-    best_acc, best_params = -1.0, params
+    best_acc = -1.0
+    best_params = jax.tree.map(lambda a: a.copy(), params)  # donation-safe
     history = []
     for epoch in range(epochs):
         t0 = time.time()
@@ -88,5 +89,7 @@ def train_classifier(apply_fn, params, train_batches, eval_batches, *, epochs=3,
                f"({n_seen / max(dt, 1e-9):.2f} samples/s train)")
         history.append({"epoch": epoch, "train_loss": float(np.mean(losses)), "eval_accuracy": acc})
         if acc > best_acc:
-            best_acc, best_params = acc, params
+            # copy: these buffers are donated by the next epoch's train_step
+            # (donate_argnums) and would be deleted arrays on TPU
+            best_acc, best_params = acc, jax.tree.map(lambda a: a.copy(), params)
     return best_params, history

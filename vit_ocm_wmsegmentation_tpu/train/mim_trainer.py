@@ -89,7 +89,18 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))
     if cfg.PRETRAINED_WEIGHTS:
         try:
-            params = ckpt.load_torch_checkpoint(cfg.PRETRAINED_WEIGHTS, vit_cfg, cfg.MODEL.CHECKPOINT_KEY)
+            import torch
+
+            sd = torch.load(cfg.PRETRAINED_WEIGHTS, map_location="cpu", weights_only=False)
+            try:
+                # full MIM checkpoint (encoder.* + decoder.0.*)
+                params = ckpt.mim_params_from_torch(sd, vit_cfg, cfg.MODEL.CHECKPOINT_KEY)
+            except KeyError:
+                # bare ViT checkpoint (e.g. DINO): init the encoder weights
+                # and KEEP the fresh mask_token/decoder — replacing the whole
+                # tree would drop them and crash the first step
+                loaded = ckpt.vit_params_from_torch(sd, vit_cfg, cfg.MODEL.CHECKPOINT_KEY)
+                params = {**params, **loaded}
         except Exception as e:  # mirror the reference's lenient load
             logger.info(f"could not load pretrained weights: {e}; training from scratch")
 
@@ -130,6 +141,9 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info(f"number of params: {n_params}")
     logger.info("Start training")
+    # one jit wrapper for the W&B panel forward — constructing it inside the
+    # epoch loop would retrace/recompile every epoch
+    panel_fn = jax.jit(simmim.mim_loss, static_argnames=("cfg",))
 
     history = []
     min_loss = float("inf")
@@ -184,8 +198,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             # channel 0. One extra forward on the epoch's last batch.
             x_last = jnp.asarray(img)
             m_last = jnp.asarray(mask)
-            _, x_rec, pix_mask = jax.jit(simmim.mim_loss, static_argnames=("cfg",))(
-                params, vit_cfg, x_last, m_last)
+            _, x_rec, pix_mask = panel_fn(params, vit_cfg, x_last, m_last)
             inp = np.asarray(x_last[0, :, :, 0])
             pm = np.asarray(pix_mask[0, :, :, 0])
             rec = np.asarray(x_rec[0, :, :, 0], dtype=np.float32)

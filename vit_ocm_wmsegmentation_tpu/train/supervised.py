@@ -194,15 +194,19 @@ def teacher_pseudo_labels(teacher_params, cfg, x, rng_key=None):
 
 
 class ReduceLROnPlateau:
-    """torch.optim.lr_scheduler.ReduceLROnPlateau('min', patience=5)."""
+    """torch.optim.lr_scheduler.ReduceLROnPlateau('min', patience=5):
+    an epoch only counts as improved when metric < best * (1 - threshold)
+    (threshold_mode='rel', threshold=1e-4) — plain `<` would let a loss
+    creeping down by 1e-6/epoch suppress the decay forever."""
 
-    def __init__(self, lr, patience=5, factor=0.1, min_lr=0.0):
+    def __init__(self, lr, patience=5, factor=0.1, min_lr=0.0, threshold=1e-4):
         self.lr, self.patience, self.factor, self.min_lr = lr, patience, factor, min_lr
+        self.threshold = threshold
         self.best = float("inf")
         self.bad = 0
 
     def step(self, metric: float) -> float:
-        if metric < self.best:
+        if metric < self.best * (1.0 - self.threshold):
             self.best = metric
             self.bad = 0
         else:
@@ -258,7 +262,7 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
     best_valid = float("inf")
     cur_lr = lr
     train_losses, valid_losses = [], []
-    best = (params, state)
+    best = (jax.tree.map(lambda a: a.copy(), params), state)  # donation-safe
     for epoch in range(epochs):
         t0 = time.time()
         tl = []
@@ -275,9 +279,13 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
             logger(f"Valid loss improved from {best_valid:2.4f} to {valid_loss:2.4f}. "
                    f"Saving checkpoint: {checkpoint_path}")
             best_valid = valid_loss
-            best = (params, state)
-            ckpt.save_checkpoint(os.path.dirname(checkpoint_path) or ".",
-                                 0, {"params": params, "state": state})
+            # copy: the captured param buffers are otherwise donated by the
+            # next epoch's train_step (donate_argnums=0) and deleted on TPU
+            best = (jax.tree.map(lambda a: a.copy(), params), state)
+            # one directory per run name (files/<name>/ckpt_epoch_0): the
+            # reference writes torch.save(files/<name>); dumping everything
+            # into dirname() would let runs overwrite each other's best
+            ckpt.save_checkpoint(checkpoint_path, 0, {"params": params, "state": state})
         cur_lr = plateau.step(valid_loss)
         dt = time.time() - t0
         logger(f"Epoch: {epoch+1:02} | Epoch Time: {int(dt//60)}m {int(dt%60)}s\n"
