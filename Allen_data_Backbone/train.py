@@ -14,6 +14,7 @@ fixed seed.
 """
 
 import argparse
+import json
 import os
 import sys
 from glob import glob
@@ -40,6 +41,9 @@ def get_args():
     parser.add_argument("--from_scratch", action="store_true",
                         help="skip pretrained init (the reference's SwinModel(config) arm)")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--output_dir", type=str, default="swin_allen_output",
+                        help="best checkpoint + history destination "
+                             "(the reference's trainer.save_model/save_metrics)")
     return parser.parse_args()
 
 
@@ -110,6 +114,14 @@ def main():
         epochs=args.epochs, lr=5e-5, grad_accum=4, steps_per_epoch=steps,
     )
     print("final:", history[-1])
+    # persist like the reference (train.py:165-173 trainer.save_model +
+    # save_metrics): best params as an orbax checkpoint + history JSON
+    from vit_ocm_wmsegmentation_tpu.train.checkpoint import save_checkpoint
+
+    path = save_checkpoint(args.output_dir, 0, {"params": best})
+    with open(os.path.join(args.output_dir, "history.json"), "w") as f:
+        json.dump({"history": history, "classes": classes}, f, indent=2)
+    print(f"saved best checkpoint to {path}")
 
 
 if __name__ == "__main__":

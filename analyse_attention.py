@@ -133,6 +133,11 @@ def analyse_single(args, params, cfg, img_path):
             adir = os.path.join(outdir, "analysis")
             create_dir(adir)
             queries = []
+            # replicates analyse_attention.py:232-234 exactly, including its
+            # square-only row stride: the reference's `w_featmap` is the ROW
+            # grid (img.shape[-2]//patch) despite the name, so query =
+            # i*gh*rate + j*rate — for non-square inputs the reference
+            # under/over-strides identically
             for i in range(0, gh // args.query_rate):
                 for j in range(0, gw // args.query_rate):
                     queries.append(i * gh * args.query_rate + j * args.query_rate)

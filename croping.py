@@ -20,17 +20,20 @@ def parse_args():
 def main():
     args = parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
-    paths = sorted(glob(os.path.join(args.image_path, "*")))
+    paths = sorted(p for p in glob(os.path.join(args.image_path, "*"))
+                   if p.lower().endswith((".jpg", ".png")))
     count = 0
     for path in paths:
         img = Image.open(path)
-        name = os.path.basename(path).rsplit(".", 1)[0]
+        name = os.path.basename(path)[:-4]
         w, h = img.size
         c = args.crop_size
-        for i in range(h // c):
-            for j in range(w // c):
-                crop = img.crop((j * c, i * c, (j + 1) * c, (i + 1) * c))
-                crop.save(os.path.join(args.output_dir, f"{name}_crop_{i}_{j}.png"))
+        # ceil + min-clamped boxes (croping.py:21-36): partial edge crops are
+        # KEPT (smaller than crop_size), x-index first, .jpg output
+        for i in range(-(-w // c)):
+            for j in range(-(-h // c)):
+                crop = img.crop((i * c, j * c, min((i + 1) * c, w), min((j + 1) * c, h)))
+                crop.save(os.path.join(args.output_dir, f"{name}_{i}_{j}.jpg"))
                 count += 1
     print(f"wrote {count} crops from {len(paths)} images to {args.output_dir}")
 

@@ -13,6 +13,7 @@ from glob import glob
 
 import jax
 
+from vit_ocm_wmsegmentation_tpu.cli import str2bool
 from vit_ocm_wmsegmentation_tpu.models import probing
 from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt
 from vit_ocm_wmsegmentation_tpu.train.supervised import (
@@ -38,11 +39,15 @@ def parse_args():
     parser.add_argument("--base_lr", default=1e-4, type=float)
     parser.add_argument("--ratio", default=1.0, type=float)
     parser.add_argument("--layer_num", default=2, type=int, choices=[1, 2])
-    parser.add_argument("--finetune", default=True, type=bool,
+    parser.add_argument("--finetune", default=True, type=str2bool,
                         help="False freezes the encoder (probing only)")
     parser.add_argument("--name", default="ft", type=str)
-    parser.add_argument("--H", default=384, type=int)
-    return parser.parse_args()
+    parser.add_argument("--H", default=None, type=int,
+                        help="working size; defaults to --image_size")
+    args = parser.parse_args()
+    if args.H is None:
+        args.H = args.image_size
+    return args
 
 
 def main():

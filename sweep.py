@@ -32,6 +32,21 @@ def expand_grid(parameters):
         yield cfg
 
 
+def build_cmd(program, cfg, extra=()):
+    cmd = [sys.executable, program]
+    for k, v in cfg.items():
+        if v == "":
+            continue
+        if v is False:
+            # the entry scripts keep the reference's argparse type=bool
+            # flags, where bool('False') == True; only the empty string
+            # parses falsy, so a false grid arm must be sent as ''
+            cmd += [f"--{k}", ""]
+            continue
+        cmd += [f"--{k}", str(v)]
+    return cmd + list(extra)
+
+
 def main():
     parser = argparse.ArgumentParser("local sweep runner")
     parser.add_argument("sweep_yaml")
@@ -47,12 +62,7 @@ def main():
     print(f"{len(runs)} runs over {program} (metric: {sweep.get('metric', {}).get('name')})")
     failures = 0
     for i, cfg in enumerate(runs):
-        cmd = [sys.executable, program]
-        for k, v in cfg.items():
-            if v == "":
-                continue
-            cmd += [f"--{k}", str(v)]
-        cmd += extra
+        cmd = build_cmd(program, cfg, extra)
         print(f"[{i + 1}/{len(runs)}] {' '.join(cmd)}")
         if args.dry_run:
             continue

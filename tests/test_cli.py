@@ -102,6 +102,60 @@ def test_sw_processing_stream_mode(tmp_path, monkeypatch):
             assert (out / f"m{i}" / f).exists()
 
 
+def test_sweep_false_bool_arm_sends_empty_string():
+    """The entry scripts keep the reference's type=bool flags where
+    bool('False') is True; a false grid arm must go over as '' or both
+    sweep arms silently run with the flag enabled."""
+    import sweep
+
+    cmd = sweep.build_cmd("mim.py", {"early_stopping": False, "mask_ratio": 0.5})
+    i = cmd.index("--early_stopping")
+    assert cmd[i + 1] == ""
+    assert cmd[cmd.index("--mask_ratio") + 1] == "0.5"
+
+
+def test_str2bool_and_finetune_flag(monkeypatch):
+    """--finetune False must actually freeze the encoder (new flag, so it
+    uses str2bool, unlike the parity-replicated type=bool flags)."""
+    import finetune
+    from vit_ocm_wmsegmentation_tpu.cli import str2bool
+
+    assert str2bool("False") is False and str2bool("") is False
+    assert str2bool("True") is True and str2bool("1") is True
+    monkeypatch.setattr(sys, "argv", ["finetune.py", "--image_path", "d",
+                                      "--finetune", "False", "--image_size", "256"])
+    args = finetune.parse_args()
+    assert args.finetune is False
+    assert args.H == 256  # --image_size wires through when --H is omitted
+
+
+def test_croping_reference_semantics(tmp_path):
+    """ceil + min-clamped boxes: a 500x500 image at crop 384 yields 4 crops
+    (partial edge bands KEPT), named <name>_<i>_<j>.jpg like the reference
+    (croping.py:21-36)."""
+    import numpy as np
+    from PIL import Image
+
+    import croping
+
+    src = tmp_path / "in"
+    src.mkdir()
+    Image.fromarray(np.zeros((500, 500, 3), np.uint8)).save(src / "im.png")
+    out = tmp_path / "out"
+    monkeypatch_argv = ["croping.py", "--image_path", str(src),
+                        "--output_dir", str(out), "--crop_size", "384"]
+    old = sys.argv
+    sys.argv = monkeypatch_argv
+    try:
+        croping.main()
+    finally:
+        sys.argv = old
+    names = sorted(p.name for p in out.iterdir())
+    assert names == ["im_0_0.jpg", "im_0_1.jpg", "im_1_0.jpg", "im_1_1.jpg"]
+    assert Image.open(out / "im_1_1.jpg").size == (116, 116)
+    assert Image.open(out / "im_0_0.jpg").size == (384, 384)
+
+
 def test_sweep_dry_run():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(

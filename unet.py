@@ -51,13 +51,14 @@ def main():
     def apply_fn(p, s, x, train):
         return unet.apply(p, s, x, train=train)
 
-    train_loader = SegLoader(tr_x, tr_y, args.H, args.batch_size, shuffle=True)
-    valid_loader = SegLoader(va_x, va_y, args.H, args.batch_size)
+    size = (args.H, args.W)
+    train_loader = SegLoader(tr_x, tr_y, size, args.batch_size, shuffle=True)
+    valid_loader = SegLoader(va_x, va_y, size, args.batch_size)
     params, state, tl, vl = train_supervised(
         apply_fn, params, state, train_loader, valid_loader,
         epochs=args.epochs, lr=args.base_lr, checkpoint_path=f"files/{args.name}",
     )
-    test_supervised(apply_fn, params, state, te_x, te_y, args.H, f"results/{args.name}")
+    test_supervised(apply_fn, params, state, te_x, te_y, size, f"results/{args.name}")
 
 
 if __name__ == "__main__":

@@ -45,6 +45,15 @@ def load_model(arch: str, patch_size: int, pretrained_weights: str = "",
     return params, cfg, source
 
 
+def str2bool(v) -> bool:
+    """argparse type for NEW boolean flags: 'False'/'0'/'no'/'' parse falsy.
+    (Flags replicated from the reference keep its type=bool quirk, where
+    any non-empty string — including 'False' — is True.)"""
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() not in ("", "false", "0", "no", "n", "f")
+
+
 def create_dir(path: str):
     os.makedirs(path, exist_ok=True)
 

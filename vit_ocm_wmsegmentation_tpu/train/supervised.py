@@ -37,6 +37,11 @@ from . import checkpoint as ckpt
 # ---------------------------------------------------------------------------
 
 
+def _size_hw(size):
+    """int -> square; (H, W) tuple passes through (unet.py's H/W globals)."""
+    return (size, size) if isinstance(size, int) else tuple(size)
+
+
 def load_image_cv2(path, size):
     """cv2.imread(COLOR) + INTER_LINEAR resize + /255 -> (H, W, 3) float32.
 
@@ -45,17 +50,19 @@ def load_image_cv2(path, size):
     """
     import cv2
 
+    h, w = _size_hw(size)
     img = cv2.imread(path, cv2.IMREAD_COLOR)
-    img = cv2.resize(img, (size, size))
+    img = cv2.resize(img, (w, h))
     return (img / 255.0).astype(np.float32)
 
 
 def load_mask_cv2(path, size, nearest=False):
     import cv2
 
+    h, w = _size_hw(size)
     mask = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     interp = cv2.INTER_NEAREST if nearest else cv2.INTER_LINEAR
-    mask = cv2.resize(mask, (size, size), interpolation=interp)
+    mask = cv2.resize(mask, (w, h), interpolation=interp)
     return (mask / 255.0).astype(np.float32)
 
 
@@ -87,14 +94,14 @@ class SegLoader:
 
         if self._dev is not None or not self.images:
             return
-        size = self.image_size
+        h, w = _size_hw(self.image_size)
         xs = np.stack([
-            cv2.resize(cv2.imread(p, cv2.IMREAD_COLOR), (size, size)) for p in self.images
+            cv2.resize(cv2.imread(p, cv2.IMREAD_COLOR), (w, h)) for p in self.images
         ]).astype(np.uint8)
         ys = None
         if self.labels is not None:
             ys = np.stack([
-                cv2.resize(cv2.imread(p, cv2.IMREAD_GRAYSCALE), (size, size),
+                cv2.resize(cv2.imread(p, cv2.IMREAD_GRAYSCALE), (w, h),
                            interpolation=cv2.INTER_LINEAR) for p in self.labels
             ]).astype(np.uint8)[..., None]
         self._dev = (jnp.asarray(xs), jnp.asarray(ys) if ys is not None else None)
@@ -272,7 +279,13 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
         tl = [float(l) for l in tl]
         vl = [float(eval_step(params, state, x, y)) for x, y in batches(valid_loader, epoch)]
         train_loss = float(np.mean(tl)) if tl else float("nan")
-        valid_loss = float(np.mean(vl)) if vl else float("nan")
+        if not vl and epoch == 0:
+            logger("WARNING: validation split is empty (dataset smaller than the "
+                   "train split); using the train loss for best-checkpoint "
+                   "selection and LR plateau decisions")
+        # an empty valid split must not poison best/plateau with NaN (which
+        # would silently return the untrained epoch-0 params)
+        valid_loss = float(np.mean(vl)) if vl else train_loss
         train_losses.append(train_loss)
         valid_losses.append(valid_loss)
         if valid_loss < best_valid:
@@ -319,7 +332,7 @@ def test_supervised(apply_fn, params, state, test_x, test_y, image_size, results
         pred = (np.asarray(prob[0, ..., 0]) > 0.5).astype(np.uint8) * 255
         gt = (y[0, ..., 0] * 255).astype(np.uint8)
         img_u8 = (x[0] * 255).astype(np.uint8)
-        line = np.full((image_size, 10, 3), 128, np.uint8)
+        line = np.full((_size_hw(image_size)[0], 10, 3), 128, np.uint8)
         trip = np.concatenate(
             [img_u8, line, np.repeat(gt[..., None], 3, -1), line, np.repeat(pred[..., None], 3, -1)], axis=1
         )
