@@ -17,8 +17,9 @@ def _qkv(b, h, n, d, seed=0, dtype=np.float32):
 
 
 @pytest.mark.parametrize("n", [64, 130, 257])  # incl. non-multiples of 128
-def test_flash_matches_materialized(n):
-    q, k, v = _qkv(2, 3, n, 64, seed=n)
+@pytest.mark.parametrize("d", [64, 128])  # ViT-S eval (d=64) and MIM (d=128) head dims
+def test_flash_matches_materialized(n, d):
+    q, k, v = _qkv(2, 3, n, d, seed=n)
     want = jnp.einsum("bhqk,bhkd->bhqd", att.attention_scores(q, k), v)
     got = flash_attention(q, k, v, block_q=128, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
@@ -56,10 +57,11 @@ def _vjp_oracle(q, k, v, do):
 
 
 @pytest.mark.parametrize("n", [64, 130])
-def test_flash_vjp_matches_xla(n):
+@pytest.mark.parametrize("d", [64, 128])  # MIM trains through d=128 heads
+def test_flash_vjp_matches_xla(n, d):
     from vit_ocm_wmsegmentation_tpu.ops.flash_attention import flash_attention_trainable
 
-    q, k, v = _qkv(2, 2, n, 64, seed=100 + n)
+    q, k, v = _qkv(2, 2, n, d, seed=100 + n)
     do = jnp.asarray(np.random.default_rng(n).normal(0, 1, q.shape).astype(np.float32))
     want_dq, want_dk, want_dv = _vjp_oracle(q, k, v, do)
     _, vjp = jax.vjp(lambda q, k, v: flash_attention_trainable(q, k, v, 128, True), q, k, v)
