@@ -88,9 +88,11 @@ def make_variant(mode: str, block_q: int = 512):
 
 
 def timeit(fn, q, k, v, iters=8):
-    # warm (compile)
+    # warm (compile); scalar sync — block_until_ready can return early for
+    # large Pallas outputs over the device tunnel (CLAUDE.md), which would
+    # leak the warmup's tail into the timed loop
     o = fn(q, k, v)
-    o.block_until_ready()
+    _ = float(jnp.sum(o[0, 0, 0, :8]).astype(jnp.float32))
     # chained: feed output back as q so the chip can't overlap mosaic-free
     t0 = time.perf_counter()
     x = q

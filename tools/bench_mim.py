@@ -36,7 +36,7 @@ def vit_forward_flops(cfg: ViTConfig, img: int, batch: int) -> float:
     """Dense FLOPs of one SimMIM forward (matmuls only, 2 FLOP/MAC)."""
     n = (img // cfg.patch_size) ** 2 + 1
     d, h = cfg.embed_dim, cfg.mlp_ratio if hasattr(cfg, "mlp_ratio") else 4
-    mlp_hidden = d * 4
+    mlp_hidden = int(d * h)
     per_block = (
         2 * n * d * (3 * d)      # qkv
         + 2 * 2 * n * n * d      # qk^T and pv

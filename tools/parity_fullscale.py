@@ -137,6 +137,9 @@ def main():
         avg = np.mean(att, axis=0)
         avg = (avg - avg.min()) / (avg.max() - avg.min()) * 255.0
         avg = cv2.resize(avg, (avg.shape[1] // 8, avg.shape[0] // 8))
+        # shape[0] for BOTH dsize components transliterates the reference's
+        # square-only inline chain (sw_processing.py:252-257: resizes to
+        # (img.shape[-1], img.shape[-1])) — do not "fix"; tiles are square
         avg = cv2.resize(avg, (avg.shape[0] * 8, avg.shape[0] * 8), interpolation=cv2.INTER_LINEAR)
         average_crops.append(avg)
         print(f"tile {j + 1}/49 done ({time.time() - t0:.0f}s)", flush=True)

@@ -120,8 +120,14 @@ def attn(dtype):
         o = run(q, kt, v, bias)
     _ = float(jnp.sum(jnp.ravel(o)[:8].astype(jnp.float32)))
     dt = (time.perf_counter() - t0) / 8
+    # USEFUL attention FLOPs (standard 2 dots x 2*N^2*D), matching
+    # bench_attention_variants.py and BENCH.md's roofline rows. The pv dot
+    # here executes against the ones-column-extended 2D-wide V (the
+    # production denominator trick) — at D=64 the 128-wide output costs the
+    # same MXU cycles as 64-wide, so executed!=useful is exactly the
+    # half-utilization the roofline narrative accounts for.
     fl = 4 * B * H * N * N * D
-    print(f"{dt*1e3:8.2f} ms  {fl/dt/1e12:6.1f} TF/s(dots)")
+    print(f"{dt*1e3:8.2f} ms  {fl/dt/1e12:6.1f} TF/s(dots, useful)")
 
 
 if __name__ == "__main__":
