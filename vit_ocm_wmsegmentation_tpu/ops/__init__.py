@@ -18,6 +18,7 @@ from .resize import resize_bicubic_torch, resize_linear_cv2, smooth_attention, u
 from .stitch import concat_crops, concat_crops_overlap, extract_tiles, stitch_blended, tile_starts
 from .threshold import (
     min_max_normalize,
+    mult_blend_u8,
     otsu_binary_u8,
     otsu_threshold_u8,
     threshold_multiplicative,
