@@ -62,12 +62,13 @@ def main():
     if use_wandb:
         wandb.init(project="mim", name=f"{cfg.TAG}_{cfg.DATA.IMG_SIZE}_{cfg.DATA.BATCH_SIZE}B", config=dict(cfg))
 
-    if cfg.DATA.DEVICE_AUG and cfg.roi_masking:
+    device_aug = cfg.DATA.DEVICE_AUG and not cfg.roi_masking
+    if cfg.DATA.DEVICE_AUG and not device_aug:
         logger.warning("DATA.DEVICE_AUG ignored: roi_masking needs host CC labeling, "
                        "falling back to the host augmentation loader")
-    if cfg.DATA.DEVICE_AUG and not cfg.roi_masking:
+    if device_aug:
         # the whole SimMIM transform runs on device (data/device_aug.py);
-        # the host only decodes. ROI masking needs host CC labeling.
+        # the host only decodes
         from vit_ocm_wmsegmentation_tpu.data import build_simmim_device_loader
 
         loader = build_simmim_device_loader(

@@ -69,11 +69,16 @@ def main():
         _, _, heatmap_otsu = threshold_multiplicative(gray_dev, attn)
         return mask, attn, heatmap_otsu
 
-    def write(out_dir, mask, attn, heatmap_otsu):
+    # one artifact set per mosaic: (filename, cmap) for (attention, heatmap
+    # Otsu, mask) — shared by the single-image and streaming writers
+    artifacts = (("attention_map_sw.jpg", None),
+                 ("otsu_sw_heatmap.jpg", "gray"),
+                 ("otsu_sw.jpg", "gray"))
+
+    def write(out_dir, mask, attn, heatmap_otsu, save=imsave):
         create_dir(out_dir)
-        imsave(os.path.join(out_dir, "attention_map_sw.jpg"), np.asarray(attn))
-        imsave(os.path.join(out_dir, "otsu_sw_heatmap.jpg"), np.asarray(heatmap_otsu), cmap="gray")
-        imsave(os.path.join(out_dir, "otsu_sw.jpg"), np.asarray(mask), cmap="gray")
+        for (fname, cmap), arr in zip(artifacts, (attn, heatmap_otsu, mask)):
+            save(os.path.join(out_dir, fname), np.asarray(arr), cmap=cmap)
 
     if not os.path.isdir(args.image_path):
         img = Image.open(args.image_path).convert("RGB").resize((size[1], size[0]))
@@ -108,10 +113,7 @@ def main():
         return outs
 
     def write_stream(out_dir, mask, attn_idx, heat):
-        create_dir(out_dir)
-        imsave_fast(os.path.join(out_dir, "attention_map_sw.jpg"), attn_idx)
-        imsave_fast(os.path.join(out_dir, "otsu_sw_heatmap.jpg"), heat, cmap="gray")
-        imsave_fast(os.path.join(out_dir, "otsu_sw.jpg"), mask, cmap="gray")
+        write(out_dir, mask, attn_idx, heat, save=imsave_fast)
 
     from concurrent.futures import ThreadPoolExecutor
 

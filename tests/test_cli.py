@@ -101,6 +101,15 @@ def test_sw_processing_stream_mode(tmp_path, monkeypatch):
         for f in ("attention_map_sw.jpg", "otsu_sw_heatmap.jpg", "otsu_sw.jpg"):
             assert (out / f"m{i}" / f).exists()
 
+    # single-image branch (plt.imsave writer) produces the same artifact set
+    out1 = tmp_path / "single"
+    monkeypatch.setattr(sys, "argv", [
+        "sw_processing.py", "--image_path", str(src / "m0.png"), "--image_size", "96",
+        "--window_size", "48", "--stride", "16", "--output_dir", str(out1)])
+    sw_processing.main()
+    for f in ("attention_map_sw.jpg", "otsu_sw_heatmap.jpg", "otsu_sw.jpg"):
+        assert (out1 / f).exists()
+
 
 def test_sweep_false_bool_arm_sends_empty_string():
     """The entry scripts keep the reference's type=bool flags where

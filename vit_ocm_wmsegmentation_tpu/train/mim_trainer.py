@@ -144,6 +144,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     # one jit wrapper for the W&B panel forward — constructing it inside the
     # epoch loop would retrace/recompile every epoch
     panel_fn = jax.jit(simmim.mim_loss, static_argnames=("cfg",))
+    from ..data.prefetch import prefetch
 
     history = []
     min_loss = float("inf")
@@ -153,7 +154,6 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         loss_meter, norm_meter, batch_time = AverageMeter(), AverageMeter(), AverageMeter()
         epoch_start = time.time()
         end = time.time()
-        from ..data.prefetch import prefetch
 
         # loss/grad-norm stay on device between log points: a float() per
         # iteration is a host round-trip that serializes the dispatch

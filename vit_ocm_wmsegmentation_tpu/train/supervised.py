@@ -266,10 +266,13 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
                 x, y = batch
                 yield jnp.asarray(x), jnp.asarray(y)
 
+    # copies: captured param buffers are otherwise donated by the next
+    # epoch's train_step (donate_argnums=0) and deleted on TPU
+    snap = lambda p: jax.tree.map(lambda a: a.copy(), p)
     best_valid = float("inf")
     cur_lr = lr
     train_losses, valid_losses = [], []
-    best = (jax.tree.map(lambda a: a.copy(), params), state)  # donation-safe
+    best = (snap(params), state)
     for epoch in range(epochs):
         t0 = time.time()
         tl = []
@@ -292,9 +295,7 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
             logger(f"Valid loss improved from {best_valid:2.4f} to {valid_loss:2.4f}. "
                    f"Saving checkpoint: {checkpoint_path}")
             best_valid = valid_loss
-            # copy: the captured param buffers are otherwise donated by the
-            # next epoch's train_step (donate_argnums=0) and deleted on TPU
-            best = (jax.tree.map(lambda a: a.copy(), params), state)
+            best = (snap(params), state)
             # one directory per run name (files/<name>/ckpt_epoch_0): the
             # reference writes torch.save(files/<name>); dumping everything
             # into dirname() would let runs overwrite each other's best
