@@ -47,6 +47,14 @@ def parse_args():
                         help="run the ViT in bfloat16 (MXU-native, ~equal masks — "
                              "bf16-vs-f32 Dice > 0.99, see BENCH.md); 0 = float32 "
                              "like the reference")
+    parser.add_argument("--writers", default=0, type=int,
+                        help="directory mode: PNG writer threads (0 = auto, "
+                             "min(4, cpu_count-1)); encode is the stream "
+                             "bottleneck on few-core hosts (BENCH.md)")
+    parser.add_argument("--save", default="all", choices=["all", "mask"],
+                        help="directory mode: artifacts per mosaic; 'mask' "
+                             "writes only otsu_sw.jpg (1/3 the encode + "
+                             "wire bytes)")
     return parser.parse_args()
 
 
@@ -101,23 +109,34 @@ def main():
             gray = np.asarray(img.convert("L"), np.uint8)
             yield os.path.splitext(os.path.basename(p))[0], jax.device_put(gray)
 
+    mask_only = args.save == "mask"
+
     def segment_stream(gray_dev):
         mask, attn, heat = segment(gray_dev)
-        # quantize the attention map to viridis LUT indices ON DEVICE
-        # (matplotlib's own 256-level quantization: floor(norm*256) clipped)
-        # so the wire carries uint8, and write-back is a LUT gather + PNG
-        idx = jnp.clip(jnp.floor(min_max_normalize(attn) * 256.0), 0, 255).astype(jnp.uint8)
-        outs = (mask, idx, heat)
+        if mask_only:
+            outs = (mask,)
+        else:
+            # quantize the attention map to viridis LUT indices ON DEVICE
+            # (matplotlib's own 256-level quantization: floor(norm*256)
+            # clipped) so the wire carries uint8, and write-back is a LUT
+            # gather + PNG
+            idx = jnp.clip(jnp.floor(min_max_normalize(attn) * 256.0), 0, 255).astype(jnp.uint8)
+            outs = (mask, idx, heat)
         for a in outs:  # start device->host DMA now, behind the compute
             a.copy_to_host_async()
         return outs
 
-    def write_stream(out_dir, mask, attn_idx, heat):
+    def write_stream(out_dir, mask, attn_idx=None, heat=None):
+        if mask_only:
+            create_dir(out_dir)
+            imsave_fast(os.path.join(out_dir, "otsu_sw.jpg"), mask, cmap="gray")
+            return
         write(out_dir, mask, attn_idx, heat, save=imsave_fast)
 
     from concurrent.futures import ThreadPoolExecutor
 
-    writer = ThreadPoolExecutor(max_workers=1)  # PNG encode off the dispatch path
+    n_writers = args.writers or max(1, min(4, (os.cpu_count() or 2) - 1))
+    writer = ThreadPoolExecutor(max_workers=n_writers)  # PNG encode off the dispatch path
     inflight = deque()  # (name, device results) dispatched but not written
     pending = deque()  # bounded writer backlog
     t0 = time.perf_counter()
@@ -127,7 +146,7 @@ def main():
         if len(inflight) > 1:
             done, outs = inflight.popleft()
             pending.append(writer.submit(write_stream, os.path.join(args.output_dir, done), *outs))
-            while len(pending) > 2:
+            while len(pending) > 2 * n_writers:
                 pending.popleft().result()
             if t_first is None:
                 t_first = time.perf_counter()

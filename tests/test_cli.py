@@ -101,6 +101,16 @@ def test_sw_processing_stream_mode(tmp_path, monkeypatch):
         for f in ("attention_map_sw.jpg", "otsu_sw_heatmap.jpg", "otsu_sw.jpg"):
             assert (out / f"m{i}" / f).exists()
 
+    # --save mask writes only the mask artifact
+    outm = tmp_path / "maskonly"
+    monkeypatch.setattr(sys, "argv", [
+        "sw_processing.py", "--image_path", str(src), "--image_size", "96",
+        "--window_size", "48", "--stride", "16", "--output_dir", str(outm),
+        "--save", "mask", "--writers", "2"])
+    sw_processing.main()
+    for i in range(3):
+        assert sorted(p.name for p in (outm / f"m{i}").iterdir()) == ["otsu_sw.jpg"]
+
     # single-image branch (plt.imsave writer) produces the same artifact set
     out1 = tmp_path / "single"
     monkeypatch.setattr(sys, "argv", [
