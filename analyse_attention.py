@@ -201,7 +201,12 @@ def main():
     start = time.time()
     for p in paths:
         if args.crop > 1 or args.window_stride > 0:
-            if args.crop not in (4, 16):
+            # the reference's window_stride is vestigial: Croped_Dataset
+            # ignores it (its sliding-window call is commented out,
+            # analyse_attention.py:262) and runs the grid path with
+            # crop_rate sqrt(crop) — including crop==1 as a single "crop".
+            # The real sliding window lives in sw_processing.py.
+            if args.crop not in (1, 4, 16):
                 print("crop must be 4 or 16")
             else:
                 analyse_croped(args, params, cfg, p)
