@@ -37,6 +37,14 @@ def parse_args():
                         help="ours, otsu, k-means, k-means_ours, chan-vese, "
                              "chan-vese_ours, heatmap_threshold, k-means_feature_clustering")
     parser.add_argument("--median_filter", default=1, type=int)
+    # parsed-but-never-read flags the reference's eval.py also accepts
+    # (eval.py:38-45 — dead there too); kept so reference users' invocation
+    # scripts remain drop-in
+    parser.add_argument("--region_query", type=bool, default=False, help=argparse.SUPPRESS)
+    parser.add_argument("--query_analysis", type=bool, default=False, help=argparse.SUPPRESS)
+    parser.add_argument("--query_rate", type=int, default=10, help=argparse.SUPPRESS)
+    parser.add_argument("--save_query", type=bool, default=False, help=argparse.SUPPRESS)
+    parser.add_argument("--save_feature", type=bool, default=False, help=argparse.SUPPRESS)
     parser.add_argument("--bf16", default=0, type=int,
                         help="run the ViT in bfloat16 (MXU-native; attention "
                              "maps still leave in f32 and thresholds/metrics "
