@@ -274,13 +274,18 @@ def _skimage_chan_vese_oracle(image, mu=0.25, lambda1=1.0, lambda2=1.0,
     return phi > 0
 
 
-@pytest.mark.parametrize("seed,bimodal", [(15, True), (4, False)])
-def test_chan_vese_matches_skimage_oracle(seed, bimodal):
-    img = _u8((48, 48), seed, bimodal)
+@pytest.mark.parametrize("shape,seed,bimodal",
+                         [((48, 48), 15, True), ((48, 48), 4, False),
+                          ((40, 56), 7, True)])  # non-square guards h/w mixups
+def test_chan_vese_matches_skimage_oracle(shape, seed, bimodal):
+    img = _u8(shape, seed, bimodal)
     got = np.asarray(chan_vese.chan_vese(jnp.asarray(img)))
     want = _skimage_chan_vese_oracle(img)
-    # f32 device vs f64 oracle: only phi~0 border pixels may flip
-    assert (got == want).mean() > 0.995, (got == want).mean()
+    # f32 device vs f64 oracle: border (phi~0) pixels may flip, and the
+    # tol stop can fire one iteration apart between precisions — ~99%
+    # pixel agreement is the expected envelope (a real structural bug,
+    # e.g. a transposed axis or the old pi-scaled Dirac, lands far below)
+    assert (got == want).mean() > 0.99, (got == want).mean()
 
 
 def test_chan_vese_checkerboard_init_matches_skimage_formula():
