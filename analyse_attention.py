@@ -207,7 +207,7 @@ def main():
             # crop_rate sqrt(crop) — including crop==1 as a single "crop".
             # The real sliding window lives in sw_processing.py.
             if args.crop not in (1, 4, 16):
-                print("crop must be 4 or 16")
+                print("crop must be 1, 4 or 16")
             else:
                 analyse_croped(args, params, cfg, p)
         else:

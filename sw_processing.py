@@ -71,9 +71,11 @@ def main():
         params = pl.cast_params(params, jnp.bfloat16)
     create_dir(args.output_dir)
 
-    def segment(gray_dev):
+    def segment(gray_dev, with_heat=True):
         mask, attn = pl.segment_mosaic(params, cfg, gray_dev, args.window_size, args.stride,
                                        dtype=dtype)
+        if not with_heat:
+            return mask, attn, None
         _, _, heatmap_otsu = threshold_multiplicative(gray_dev, attn)
         return mask, attn, heatmap_otsu
 
@@ -112,7 +114,8 @@ def main():
     mask_only = args.save == "mask"
 
     def segment_stream(gray_dev):
-        mask, attn, heat = segment(gray_dev)
+        # mask-only serving skips the heatmap-Otsu graph entirely
+        mask, attn, heat = segment(gray_dev, with_heat=not mask_only)
         if mask_only:
             outs = (mask,)
         else:
@@ -135,6 +138,8 @@ def main():
 
     from concurrent.futures import ThreadPoolExecutor
 
+    if args.writers < 0:
+        raise SystemExit(f"--writers must be >= 0, got {args.writers}")
     n_writers = args.writers or max(1, min(4, (os.cpu_count() or 2) - 1))
     writer = ThreadPoolExecutor(max_workers=n_writers)  # PNG encode off the dispatch path
     inflight = deque()  # (name, device results) dispatched but not written

@@ -150,6 +150,22 @@ def load_torch_checkpoint(path: str, cfg: ViTConfig, checkpoint_key: str = "teac
     return vit_params_from_torch(state_dict, cfg, checkpoint_key)
 
 
+def load_mim_or_vit_checkpoint(path: str, cfg: ViTConfig, fresh_params,
+                               checkpoint_key: str = "teacher"):
+    """MIM-resume semantics for .pth files: a full MIM checkpoint
+    (encoder.* + decoder.0.*) replaces the tree; a bare ViT checkpoint
+    (e.g. DINO) initializes the encoder while keeping ``fresh_params``'s
+    mask_token/decoder — replacing the whole tree would drop them and crash
+    the first step."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    try:
+        return mim_params_from_torch(sd, cfg, checkpoint_key)
+    except KeyError:
+        return {**fresh_params, **vit_params_from_torch(sd, cfg, checkpoint_key)}
+
+
 def load_pretrained(cfg: ViTConfig, arch: str, pretrained_weights: str = "",
                     checkpoint_key: str = "teacher", rng_seed: int = 0):
     """The full reference weight-resolution order (eval.py:67-94): local file

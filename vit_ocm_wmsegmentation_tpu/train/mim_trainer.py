@@ -89,18 +89,8 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))
     if cfg.PRETRAINED_WEIGHTS:
         try:
-            import torch
-
-            sd = torch.load(cfg.PRETRAINED_WEIGHTS, map_location="cpu", weights_only=False)
-            try:
-                # full MIM checkpoint (encoder.* + decoder.0.*)
-                params = ckpt.mim_params_from_torch(sd, vit_cfg, cfg.MODEL.CHECKPOINT_KEY)
-            except KeyError:
-                # bare ViT checkpoint (e.g. DINO): init the encoder weights
-                # and KEEP the fresh mask_token/decoder — replacing the whole
-                # tree would drop them and crash the first step
-                loaded = ckpt.vit_params_from_torch(sd, vit_cfg, cfg.MODEL.CHECKPOINT_KEY)
-                params = {**params, **loaded}
+            params = ckpt.load_mim_or_vit_checkpoint(
+                cfg.PRETRAINED_WEIGHTS, vit_cfg, params, cfg.MODEL.CHECKPOINT_KEY)
         except Exception as e:  # mirror the reference's lenient load
             logger.info(f"could not load pretrained weights: {e}; training from scratch")
 
