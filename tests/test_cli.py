@@ -175,6 +175,41 @@ def test_croping_reference_semantics(tmp_path):
     assert Image.open(out / "im_0_0.jpg").size == (384, 384)
 
 
+def test_croping_feeds_analyse_attention_dir_mode(tmp_path, monkeypatch):
+    """Integration: the tiler's .jpg outputs must be visible to
+    analyse_attention's directory glob (*.jpg) — the round-1 tiler wrote
+    .png crops that its own sibling tool then ignored."""
+    import numpy as np
+    from PIL import Image
+
+    import analyse_attention as aa
+    import croping
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+
+    src = tmp_path / "src"
+    src.mkdir()
+    Image.fromarray((np.random.default_rng(1).random((100, 100)) * 255)
+                    .astype(np.uint8)).convert("RGB").save(src / "big.png")
+    crops = tmp_path / "crops"
+    monkeypatch.setattr(sys, "argv", ["croping.py", "--image_path", str(src),
+                                      "--output_dir", str(crops), "--crop_size", "64"])
+    croping.main()
+    assert sorted(p.name for p in crops.iterdir()) == [
+        "big_0_0.jpg", "big_0_1.jpg", "big_1_0.jpg", "big_1_1.jpg"]
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params = vit.init(cfg, __import__("jax").random.PRNGKey(0))
+    monkeypatch.setattr(aa, "load_model", lambda *a, **k: (params, cfg, "random"))
+    out = tmp_path / "attn"
+    monkeypatch.setattr(sys, "argv", ["analyse_attention.py", "--image_path", str(crops),
+                                      "--output_dir", str(out) + "/", "--image_size", "64"])
+    aa.main()
+    done = sorted(p.name for p in out.iterdir())
+    assert done == ["big_0_0", "big_0_1", "big_1_0", "big_1_1"]
+    assert (out / "big_0_0" / "attn-average.png").exists()
+
+
 def test_sweep_dry_run():
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
