@@ -59,6 +59,21 @@ def test_attention_mosaic_matches_sequential_reference():
     np.testing.assert_allclose(got, want, atol=2e-3)
 
 
+def test_attention_mosaic_chunked_matches_unchunked(monkeypatch):
+    """Tile batches above TILE_CHUNK go through a lax.map over fixed chunks
+    (the gigapixel memory bound); the chunked graph must be numerically
+    identical to the single-batch one. Eager __wrapped__ calls keep the
+    monkeypatched chunk size out of the jit cache."""
+    params = _params()
+    img = jnp.asarray(_mosaic(3))
+    want = np.asarray(pl.attention_mosaic.__wrapped__(params, CFG, img, WINDOW, STRIDE))
+    monkeypatch.setattr(pl, "TILE_CHUNK", 4)  # 49 tiles -> 13 chunks (+pad)
+    got = np.asarray(pl.attention_mosaic.__wrapped__(params, CFG, img, WINDOW, STRIDE))
+    # batch-shape-dependent accumulation order costs ~1e-3 on [0,255] maps
+    # (same envelope as the sequential-reference oracle test above)
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
 def test_segment_mosaic_shapes_and_mask_values():
     params = _params()
     img = _mosaic(1)

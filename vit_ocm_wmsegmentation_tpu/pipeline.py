@@ -159,6 +159,15 @@ def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1, dtype=jnp.
     return jax.vmap(one)(avg)
 
 
+# per-call tile-batch bound: the vmapped ViT materializes (T, N, 3D) qkv
+# temps per block (~5.3 MB/tile at ViT-S/8 384^2 in bf16), so an unbounded T
+# OOMs HBM around ~1000 tiles (a 4608^2 mosaic). Tiles beyond the bound are
+# processed by a lax.map over fixed-size chunks — same numbers, bounded
+# memory, gigapixel-capable; workloads at or below the bound (the 1152^2
+# headline's 49 tiles) compile to the exact same single-batch graph.
+TILE_CHUNK = 256
+
+
 @partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
 def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1, dtype=jnp.float32):
     """Full-mosaic attention map: (H, W) uint8 -> (H, W) float32.
@@ -168,7 +177,16 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     """
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
     tiles = mosaic_tiles(padded, window, stride)
-    maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
+    t = tiles.shape[0]
+    if t <= TILE_CHUNK:
+        maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
+    else:
+        k = -(-t // TILE_CHUNK)
+        tiles = jnp.pad(tiles, ((0, k * TILE_CHUNK - t), (0, 0), (0, 0)), mode="edge")
+        chunks = tiles.reshape(k, TILE_CHUNK, window, window)
+        maps = jax.lax.map(
+            lambda c: _per_tile_attention(params, cfg, c, window, median_size, dtype), chunks
+        ).reshape(k * TILE_CHUNK, window, window)[:t]
     stitched = st.stitch_blended(maps, window, stride, padded.shape)
     return stitched[:h, :w]
 
