@@ -82,6 +82,27 @@ def test_trunc_normal_bounds():
     assert 0.015 < vals.std() < 0.025
 
 
+def test_init_scales_match_torch_defaults():
+    """kaiming_uniform(a=sqrt(5)) kernel bound is 1/sqrt(fan_in), NOT
+    LeCun-uniform's sqrt(3/fan_in); ConvTranspose2d's fan uses
+    weight.size(1)*kh*kw = Cout*kh*kw (torch quirk). Compare empirical
+    maxima against torch's own layers."""
+    import torch
+
+    from vit_ocm_wmsegmentation_tpu import nn as jnn
+
+    key = jax.random.PRNGKey(0)
+    k, _ = jnn.torch_linear_init(key, 2048, 512)
+    t = torch.nn.Linear(2048, 512)
+    assert abs(float(jnp.abs(k).max()) - float(t.weight.abs().max())) < 0.002
+
+    ct = jnn.conv_transpose2d_init(key, 2, 2, 1024, 512)
+    tt = torch.nn.ConvTranspose2d(1024, 512, 2, 2)
+    # fan = 512*2*2 = 2048 for both kernel and bias
+    assert abs(float(jnp.abs(ct["kernel"]).max()) - float(tt.weight.abs().max())) < 0.002
+    assert abs(float(jnp.abs(ct["bias"]).max()) - float(tt.bias.abs().max())) < 0.004
+
+
 def test_conv_transpose_matches_torch_via_converter():
     rng = np.random.default_rng(5)
     x = rng.random((1, 5, 5, 4)).astype(np.float32)

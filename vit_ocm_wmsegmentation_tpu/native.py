@@ -28,11 +28,18 @@ def load(build_if_missing: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build_if_missing:
+    src = os.path.join(_NATIVE_DIR, "ocm_native.cpp")
+    stale = (
+        os.path.exists(_LIB_PATH)
+        and os.path.exists(src)
+        and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    )
+    if (not os.path.exists(_LIB_PATH) or stale) and build_if_missing:
         try:
-            _build()
+            _build()  # Makefile no-ops when the target is fresh
         except Exception:
-            return None
+            if stale:
+                return None  # never load a binary older than its source
     if not os.path.exists(_LIB_PATH):
         return None
     try:
@@ -72,9 +79,31 @@ def available() -> bool:
     return load() is not None
 
 
+def _lib_or_raise():
+    lib = load()
+    if lib is None:
+        raise RuntimeError(
+            "native library unavailable (build failed or .so unloadable); "
+            "gate calls with native.available() or use the scipy fallbacks "
+            "in ops/morphology.py")
+    return lib
+
+
+def _check_symmetric_odd_se(se: np.ndarray):
+    """The C++ morphology implements correlation with the SE as-is; scipy
+    mirrors the structure and shifts origins for even sizes. For symmetric
+    odd-sized SEs (every caller here: disk()) the two coincide exactly —
+    enforce that instead of silently diverging for exotic SEs."""
+    if se.shape[0] % 2 == 0 or se.shape[1] % 2 == 0 or not np.array_equal(se, se[::-1, ::-1]):
+        raise ValueError(
+            "native morphology requires a symmetric, odd-sized structuring "
+            "element (scipy mirrors the SE; the native kernel does not) — "
+            "use the scipy fallback for this SE")
+
+
 def cc_label(mask: np.ndarray):
     """(labels int32, n): 8-connected components in first-encounter order."""
-    lib = load()
+    lib = _lib_or_raise()
     m = _u8(mask != 0)
     h, w = m.shape
     labels = np.empty((h, w), np.int32)
@@ -83,7 +112,7 @@ def cc_label(mask: np.ndarray):
 
 
 def remove_small_objects(mask: np.ndarray, min_size: int = 20) -> np.ndarray:
-    lib = load()
+    lib = _lib_or_raise()
     m = _u8(mask != 0)
     h, w = m.shape
     out = np.empty((h, w), np.uint8)
@@ -92,7 +121,8 @@ def remove_small_objects(mask: np.ndarray, min_size: int = 20) -> np.ndarray:
 
 
 def binary_dilation(mask: np.ndarray, se: np.ndarray) -> np.ndarray:
-    lib = load()
+    lib = _lib_or_raise()
+    _check_symmetric_odd_se(np.asarray(se) != 0)
     m, s = _u8(mask != 0), _u8(se != 0)
     h, w = m.shape
     out = np.empty((h, w), np.uint8)
@@ -102,7 +132,8 @@ def binary_dilation(mask: np.ndarray, se: np.ndarray) -> np.ndarray:
 
 
 def binary_erosion(mask: np.ndarray, se: np.ndarray, border_value: int = 0) -> np.ndarray:
-    lib = load()
+    lib = _lib_or_raise()
+    _check_symmetric_odd_se(np.asarray(se) != 0)
     m, s = _u8(mask != 0), _u8(se != 0)
     h, w = m.shape
     out = np.empty((h, w), np.uint8)
@@ -113,7 +144,7 @@ def binary_erosion(mask: np.ndarray, se: np.ndarray, border_value: int = 0) -> n
 
 def region_props(labels: np.ndarray, n: int):
     """(areas int64 (n,), centroids float64 (n,2) as (x,y), bbox int32 (n,4))."""
-    lib = load()
+    lib = _lib_or_raise()
     lab = np.ascontiguousarray(labels, np.int32)
     h, w = lab.shape
     areas = np.empty(n, np.int64)
@@ -125,6 +156,8 @@ def region_props(labels: np.ndarray, n: int):
 
 
 def otsu_threshold(img_u8: np.ndarray) -> float:
-    lib = load()
+    lib = _lib_or_raise()
     a = _u8(img_u8)
+    if a.size == 0:
+        return 0.0  # cv2 convention for empty input; avoids NaN histograms
     return float(lib.otsu_threshold(_ptr(a, ctypes.c_uint8), a.size))

@@ -34,16 +34,19 @@ def trunc_normal(key, shape, std=0.02, mean=0.0, lower=-2.0, upper=2.0, dtype=jn
     return x * std + mean
 
 
-def lecun_uniform(key, shape, fan_in, dtype=jnp.float32):
-    """Kaiming-uniform with a=sqrt(5), the PyTorch nn.Linear/Conv default."""
-    bound = math.sqrt(1.0 / fan_in) * math.sqrt(3.0)
+def torch_kaiming_uniform(key, shape, fan_in, dtype=jnp.float32):
+    """Kaiming-uniform with a=sqrt(5), the PyTorch nn.Linear/Conv default:
+    gain = sqrt(2/(1+5)) = 1/sqrt(3), bound = gain*sqrt(3/fan_in)
+    = 1/sqrt(fan_in) — measurably NOT LeCun-uniform's sqrt(3/fan_in)
+    (torch Linear(2048, .) kernels span ±0.0221, not ±0.0383)."""
+    bound = 1.0 / math.sqrt(fan_in)
     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
 
 def torch_linear_init(key, in_features, out_features, dtype=jnp.float32):
     """(kernel, bias) with PyTorch nn.Linear default init; kernel is (in, out)."""
     kkey, bkey = jax.random.split(key)
-    kernel = lecun_uniform(kkey, (in_features, out_features), in_features, dtype)
+    kernel = torch_kaiming_uniform(kkey, (in_features, out_features), in_features, dtype)
     bound = 1.0 / math.sqrt(in_features)
     bias = jax.random.uniform(bkey, (out_features,), dtype, -bound, bound)
     return kernel, bias
@@ -105,7 +108,7 @@ def conv2d(params, x, stride=1, padding="SAME"):
 def conv2d_init(key, kh, kw, cin, cout, dtype=jnp.float32):
     kkey, bkey = jax.random.split(key)
     fan_in = kh * kw * cin
-    kernel = lecun_uniform(kkey, (kh, kw, cin, cout), fan_in, dtype)
+    kernel = torch_kaiming_uniform(kkey, (kh, kw, cin, cout), fan_in, dtype)
     bound = 1.0 / math.sqrt(fan_in)
     bias = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
     return {"kernel": kernel, "bias": bias}
@@ -114,8 +117,11 @@ def conv2d_init(key, kh, kw, cin, cout, dtype=jnp.float32):
 def conv_transpose2d(params, x, stride=2):
     """Transposed conv (k=stride, used by the UNet decoder, model.py:269).
 
-    kernel: (kh,kw,Cout,Cin) stored transposed-torch-style; implemented via
-    lax.conv_transpose with NHWC layout.
+    kernel: (kh, kw, Cin, Cout) HWIO for lax.conv_transpose. NOTE for
+    converters: torch's ConvTranspose2d weight is (Cin, Cout, kh, kw) and
+    must be SPATIALLY FLIPPED on both kernel axes before transposing to
+    HWIO (checkpoint.py::_conv_transpose_from_torch does this) — following
+    the shapes alone loads cleanly and computes garbage.
     """
     y = jax.lax.conv_transpose(
         x,
@@ -131,8 +137,11 @@ def conv_transpose2d(params, x, stride=2):
 
 def conv_transpose2d_init(key, kh, kw, cin, cout, dtype=jnp.float32):
     kkey, bkey = jax.random.split(key)
-    fan_in = kh * kw * cin
-    kernel = lecun_uniform(kkey, (kh, kw, cin, cout), fan_in, dtype)
+    # torch quirk: ConvTranspose2d's weight is (Cin, Cout, kh, kw) and
+    # _calculate_fan_in uses size(1)*kh*kw = Cout*kh*kw — NOT Cin*kh*kw
+    # (verified: ConvTranspose2d(1024, 512, 2, 2) bias bound is 1/sqrt(2048))
+    fan_in = kh * kw * cout
+    kernel = torch_kaiming_uniform(kkey, (kh, kw, cin, cout), fan_in, dtype)
     bound = 1.0 / math.sqrt(fan_in)
     bias = jax.random.uniform(bkey, (cout,), dtype, -bound, bound)
     return {"kernel": kernel, "bias": bias}
@@ -158,21 +167,25 @@ def batch_norm(params, state, x, *, train, momentum=0.1, eps=1e-5):
     """
     if train:
         axes = tuple(range(x.ndim - 1))
-        mean = jnp.mean(x, axis=axes)
-        var = jnp.var(x, axis=axes)
+        # batch statistics in f32 regardless of compute dtype (repo
+        # convention, like layer_norm): bf16 accumulation over B*H*W
+        # elements loses most of the stats' precision
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=axes)
+        var = jnp.var(x32, axis=axes)
         n = x.size // x.shape[-1]
         unbiased = var * n / max(n - 1, 1)
         new_state = {
-            "mean": (1 - momentum) * state["mean"] + momentum * mean,
-            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+            "mean": (1 - momentum) * state["mean"].astype(jnp.float32) + momentum * mean,
+            "var": (1 - momentum) * state["var"].astype(jnp.float32) + momentum * unbiased,
             "count": state["count"] + 1,
         }
     else:
-        mean, var = state["mean"], state["var"]
+        mean, var = state["mean"].astype(jnp.float32), state["var"].astype(jnp.float32)
         new_state = state
-    y = (x - mean) * jax.lax.rsqrt(var + eps)
-    y = y * params["scale"] + params["bias"]
-    return y, new_state
+    y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(x.dtype), new_state
 
 
 # ---------------------------------------------------------------------------
