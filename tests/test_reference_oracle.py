@@ -113,7 +113,6 @@ def test_reference_vit_small_matches_ours_96(pair):
     np.testing.assert_allclose(np.asarray(attns[0]), tlast.numpy(), atol=2e-5)
 
 
-@pytest.mark.slow
 def test_reference_end_to_end_384_ours_mask(pair):
     """The paper's headline path at full scale, oracled by reference code:
     real ViT forward (get_intermediate_feat) -> real compute_attention
