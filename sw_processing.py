@@ -55,6 +55,12 @@ def parse_args():
                         help="directory mode: artifacts per mosaic; 'mask' "
                              "writes only otsu_sw.jpg (1/3 the encode + "
                              "wire bytes)")
+    parser.add_argument("--exact_stitch", default=0, type=int,
+                        help="threshold the reference's re-stitched uint8 "
+                             "mosaic bit-exactly (sw_processing.py:224-229 "
+                             "semantics, incl. per-blend truncation) instead "
+                             "of the original image (the better default; "
+                             "PARITY.md documented delta)")
     return parser.parse_args()
 
 
@@ -73,7 +79,7 @@ def main():
 
     def segment(gray_dev, with_heat=True):
         mask, attn = pl.segment_mosaic(params, cfg, gray_dev, args.window_size, args.stride,
-                                       dtype=dtype)
+                                       dtype=dtype, exact_stitch=bool(args.exact_stitch))
         if not with_heat:
             return mask, attn, None
         _, _, heatmap_otsu = threshold_multiplicative(gray_dev, attn)

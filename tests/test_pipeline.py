@@ -130,3 +130,31 @@ def test_pad_mosaic_odd_sizes():
     mask, attn = pl.segment_mosaic(params, CFG, jnp.asarray(img), window=48, stride=16)
     assert mask.shape == (130, 117) and attn.shape == (130, 117)
     assert np.isfinite(np.asarray(attn)).all()
+
+
+def test_segment_mosaic_exact_stitch_matches_reference_chain():
+    """exact_stitch=True end-to-end == the reference flow with its uint8
+    re-stitched image (sw_processing.py:224-229 -> threshold :44-62):
+    restitch oracle + min-max blend + cv2 Otsu, all numpy/cv2."""
+    from stitch_oracle import concat_crops_u8_oracle
+
+    params = _params()
+    img = _mosaic(3)
+    got_mask, _ = pl.segment_mosaic(params, CFG, jnp.asarray(img), WINDOW, STRIDE,
+                                    exact_stitch=True)
+
+    tiles = _sliding_window_oracle(img, STRIDE, WINDOW)
+    maps = [_reference_tile_chain(params, t) for t in tiles]
+    attn = _concat_crops_blended_oracle(maps, STRIDE, WINDOW)
+    restitched = concat_crops_u8_oracle(tiles, STRIDE, WINDOW)
+    a = (attn - attn.min()) / (attn.max() - attn.min())
+    result = (restitched.astype(np.float64) * a / a.max()).astype(np.uint8)
+    _, want_mask = cv2.threshold(result, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    diff = (np.asarray(got_mask) != want_mask).mean()
+    # knife-edge pixels only: our attention vs the float oracle's differs by
+    # ~1e-3 pre-truncation, which can flip isolated uint8 quantizations
+    assert diff <= 1e-3, f"mask mismatch fraction {diff}"
+    # and the restitched image itself is bit-exact in the fused graph
+    padded, (h, w) = pl.pad_mosaic(jnp.asarray(img), WINDOW, STRIDE)
+    np.testing.assert_array_equal(
+        np.asarray(st.restitch_u8(padded, WINDOW, STRIDE))[:h, :w], restitched)

@@ -95,3 +95,25 @@ def test_stitch_blended_other_geometries(window, stride):
     want = _concat_crops_blended_oracle(crops, stride, window)
     got = np.asarray(st.stitch_blended(jnp.asarray(np.stack(crops), jnp.float32), window, stride, (size, size)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_restitch_u8_matches_uint8_reference_recurrence():
+    """restitch_u8 == the reference's concat_crops applied to the image's
+    own uint8 tiles, including every per-blend float64->uint8 truncation
+    (sw_processing.py:113-149 with uint8 crops) — the exact image the
+    reference thresholds (sw_processing.py:224-229, 259-262)."""
+    from stitch_oracle import concat_crops_u8_oracle
+
+    rng = np.random.default_rng(5)
+    for size in (SIZE, WINDOW + 5 * STRIDE):
+        img = rng.integers(0, 256, (size, size), dtype=np.uint8)
+        ys = st.tile_starts(size, WINDOW, STRIDE)
+        crops = [img[y : y + WINDOW, x : x + WINDOW] for y in ys for x in ys]
+        want = concat_crops_u8_oracle(crops, STRIDE, WINDOW)
+        got = np.asarray(st.restitch_u8(jnp.asarray(img), WINDOW, STRIDE))
+        assert got.dtype == np.uint8 and got.shape == (size, size)
+        np.testing.assert_array_equal(got, want)
+        # and it really differs from the identity somewhere (the ±1 delta
+        # this mode exists to reproduce), at least at the larger size
+        if size > SIZE:
+            assert np.any(got != img)

@@ -149,10 +149,16 @@ def main():
     print(f"reference chain: {ref_secs:.0f}s", flush=True)
 
     # ---- ours: one fused graph on the TPU ----
+    # exact=True thresholds the reference's re-stitched uint8 image
+    # bit-exactly (ops.stitch.restitch_u8) — the remaining disagreement is
+    # then pure accumulation-order noise, not the documented stitch delta
     img_j = jnp.asarray(img_u8)
-    for dtype, tag in ((jnp.float32, "f32"), (jnp.bfloat16, "bf16")):
+    for dtype, tag, exact in ((jnp.float32, "f32", False), (jnp.bfloat16, "bf16", False),
+                              (jnp.float32, "f32_exact_stitch", True),
+                              (jnp.bfloat16, "bf16_exact_stitch", True)):
         t0 = time.time()
-        mask, attn = pl.segment_mosaic(params, cfg, img_j, window=384, stride=128, dtype=dtype)
+        mask, attn = pl.segment_mosaic(params, cfg, img_j, window=384, stride=128,
+                                       dtype=dtype, exact_stitch=exact)
         mask = np.asarray(mask)
         attn = np.asarray(attn)
         agree = float((mask == want_mask).mean())

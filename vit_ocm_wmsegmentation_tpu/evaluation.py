@@ -165,9 +165,12 @@ def _log_image_panels(wandb, meters, sample, output, attn, epoch):
 
 def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
              logger=None, wandb=None, epoch=0, print_freq=1, batch_size=1,
-             dtype=jnp.float32):
+             dtype=jnp.float32, meters_out=None):
     """Returns (acc_avg, f1_avg, loss_avg), logging per image like the
-    reference validate().
+    reference validate(). When ``meters_out`` is a dict it receives the full
+    AverageMeter set (loss/acc/f1/precision/recall/jaccard/time) so callers
+    can read all six final averages — used by the metric-level parity oracle
+    against the reference's executed validate() (tests/test_reference_validate.py).
 
     batch_size > 1 (crop==1; threshold and k-means methods — chan-vese and
     feature clustering stay per-image) batches the whole per-image pipeline
@@ -184,6 +187,8 @@ def validate(params, cfg, samples, *, method="ours", crop=1, median_size=1,
 
         params = cast_params(params, dtype)
     meters = {k: AverageMeter() for k in ("loss", "acc", "f1", "precision", "recall", "jaccard", "time")}
+    if meters_out is not None:
+        meters_out.update(meters)
     # chan-vese stays per-image: a vmapped while_loop would keep updating
     # already-converged lanes, changing its results; feature clustering has
     # its own polarity handling below

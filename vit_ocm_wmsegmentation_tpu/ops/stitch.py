@@ -130,6 +130,62 @@ def stitch_blended(tiles, window: int, stride: int, out_hw):
 
 
 # ---------------------------------------------------------------------------
+# Reference-exact uint8 image re-stitch (sw_processing.py:224-229: the
+# reference tiles the mosaic, blend-restitches the uint8 tiles, and
+# thresholds THAT image rather than the original). Blending uint8 crops of
+# one image reconstructs it up to per-blend float64 truncation (v*w +
+# v*(1-w) can land at v - 1ulp -> truncates to v-1), which is the ±1-level
+# delta behind the residual 0.5 % mask disagreement in parity. This mode
+# reproduces the truncation exactly.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=16)
+def _restitch_u8_table(n: int, window: int, stride: int) -> np.ndarray:
+    """(256, S) uint8 table with S = window + (n-1)*stride: the value the
+    reference's concat_crops (sw_processing.py:113-134) produces at global
+    1D position x when every source tile holds the constant value v.
+
+    Valid as a per-pixel model of the 2D restitch because every blend
+    operand at a given global position derives from the same source pixel:
+    the fresh tile contributes v, and the running buffer contributes a value
+    that is itself a function of (v, position) only. Simulated with the
+    literal recurrence — float64 blend, C-cast truncation to uint8 per
+    blend, exactly `overlap = np.zeros_like(left); overlap[...] = ...`."""
+    step = window - stride
+    vals = np.arange(256, dtype=np.float64)
+    tile = np.repeat(vals[:, None], window, axis=1).astype(np.uint8)
+    if step == 0 or n == 1:
+        return np.concatenate([tile] + [tile[:, -stride:]] * (n - 1), axis=1)
+    w = np.linspace(1.0, 0.0, step)
+    acc = tile.copy()
+    for _ in range(1, n):
+        left = acc[:, -step:].astype(np.float64)
+        right = tile[:, :step].astype(np.float64)
+        overlap = (left * w + right * (1.0 - w)).astype(np.uint8)
+        acc = np.concatenate([acc[:, :-step], overlap, tile[:, -stride:]], axis=1)
+    return acc
+
+
+def restitch_u8(img_u8, window: int, stride: int):
+    """The uint8 mosaic the reference would obtain by tiling img and
+    blend-restitching the tiles (`im` in sw_processing.py:227-229): a pure
+    per-pixel gather out[y, x] = Tv[Th[img[y, x], x], y] through the two
+    1D truncation tables (horizontal blends first, then vertical — the
+    reference's pass order). Jittable; used by segment_mosaic's
+    reference-exact threshold mode."""
+    h, w = img_u8.shape
+    n_y = len(tile_starts(h, window, stride))
+    n_x = len(tile_starts(w, window, stride))
+    th = jnp.asarray(_restitch_u8_table(n_x, window, stride))  # (256, W)
+    tv = jnp.asarray(_restitch_u8_table(n_y, window, stride))  # (256, H)
+    cols = jnp.arange(w, dtype=jnp.int32)
+    rows = jnp.arange(h, dtype=jnp.int32)
+    hpass = th[img_u8.astype(jnp.int32), cols[None, :]]
+    return tv[hpass.astype(jnp.int32), rows[:, None]]
+
+
+# ---------------------------------------------------------------------------
 # Non-overlapping grid concat (utils.py:304-317) and //2-averaged overlap
 # concat (utils.py:319-347) used by the crop>1 eval paths
 # ---------------------------------------------------------------------------

@@ -191,16 +191,26 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     return stitched[:h, :w]
 
 
-@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
-def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1, dtype=jnp.float32):
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype",
+                                   "exact_stitch"))
+def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
+                   dtype=jnp.float32, exact_stitch=False):
     """Mosaic white-matter mask: the sw_processing.py end-to-end flow.
 
     Returns (mask_u8 {0,255}, attention (H,W) float32). The reference
     thresholds the *re-stitched* uint8 image; blended overlapping crops of
     one image reconstruct that image up to per-pixel truncation (weights are
-    a partition of unity), so we threshold the original mosaic directly —
-    documented delta, at most +-1 uint8 level inside overlap bands.
+    a partition of unity), so by default we threshold the original mosaic
+    directly — documented delta, at most ±1 uint8 level inside overlap
+    bands. ``exact_stitch=True`` instead thresholds the reference's
+    re-stitched image bit-exactly (ops.stitch.restitch_u8 reproduces the
+    per-blend uint8 truncation of sw_processing.py:224-229), for near-bit
+    parity against the reference's executed code (tools/parity_fullscale.py).
     """
     attn = attention_mosaic(params, cfg, img_u8, window, stride, median_size, dtype)
-    mask, _, _ = th.threshold_multiplicative(img_u8, attn)
+    timg = img_u8
+    if exact_stitch:
+        padded, (h, w) = pad_mosaic(img_u8, window, stride)
+        timg = st.restitch_u8(padded, window, stride)[:h, :w]
+    mask, _, _ = th.threshold_multiplicative(timg, attn)
     return mask, attn
