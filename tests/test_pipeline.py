@@ -158,3 +158,26 @@ def test_segment_mosaic_exact_stitch_matches_reference_chain():
     padded, (h, w) = pl.pad_mosaic(jnp.asarray(img), WINDOW, STRIDE)
     np.testing.assert_array_equal(
         np.asarray(st.restitch_u8(padded, WINDOW, STRIDE))[:h, :w], restitched)
+
+
+def test_segment_mosaic_streamed_matches_fused():
+    """The banded gigapixel path == the one-shot fused graph (same blend
+    profiles, same threshold), for both stitch-threshold modes."""
+    params = _params()
+    img = _mosaic(7)
+    for exact in (False, True):
+        want_mask, want_attn = pl.segment_mosaic(
+            params, CFG, jnp.asarray(img), WINDOW, STRIDE, exact_stitch=exact)
+        got_mask, got_attn = pl.segment_mosaic_streamed(
+            params, CFG, img, WINDOW, STRIDE, exact_stitch=exact)
+        np.testing.assert_allclose(np.asarray(got_attn), np.asarray(want_attn), atol=2e-3)
+        np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+
+
+def test_segment_mosaic_streamed_odd_size_pads():
+    params = _params()
+    rng = np.random.default_rng(9)
+    img = (rng.random((100, 70)) * 255).astype(np.uint8)  # pad to 112x80
+    mask, attn = pl.segment_mosaic_streamed(params, CFG, img, window=48, stride=16)
+    assert mask.shape == (100, 70) and attn.shape == (100, 70)
+    assert set(np.unique(np.asarray(mask))) <= {0, 255}

@@ -1,0 +1,126 @@
+"""True gigapixel demo: a 32768² (1.07 GP) mosaic through the streamed
+pipeline (VERDICT r2 "Next round" #7).
+
+Workload shape: the headline geometry (ViT-S/8, window 384 / stride 128 —
+sw_processing.py:235-258) scaled 28× in linear size: 254×254 = 64,516
+overlapping tiles. segment_mosaic's one-shot graph would need ~38 GB for
+the per-tile attention stack; pipeline.segment_mosaic_streamed keeps only
+the uint8 mosaic (1.07 GB) + f32 attention canvas (4.3 GB) HBM-resident and
+processes one tile-row per dispatch.
+
+Prints per-phase wall times, MP/s, and peak HBM. Writes a 2048² preview of
+the attention map + mask to /tmp/gigapixel/.
+
+Usage: python tools/bench_gigapixel.py [--size 32768] [--preview 1]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
+
+def make_mosaic(size: int) -> np.ndarray:
+    """OCM-like synthetic content at gigapixel scale without gigabytes of
+    f64 RNG: a 4096² noise texture tiled, plus low-frequency structure so
+    tiles differ and the global Otsu sees a real bimodal histogram."""
+    rng = np.random.default_rng(0)
+    tex = rng.normal(110, 35, (4096, 4096)).astype(np.float32)
+    reps = -(-size // 4096)
+    out = np.empty((size, size), np.uint8)
+    yy = np.linspace(0, 2 * np.pi, size, dtype=np.float32)
+    rowmod = (20 * np.sin(3 * yy)).astype(np.float32)
+    colmod = (25 * np.cos(2 * yy)).astype(np.float32)
+    for i in range(reps):
+        y0, y1 = i * 4096, min((i + 1) * 4096, size)
+        band = np.tile(tex[: y1 - y0], (1, reps))[:, :size]
+        band = band + rowmod[y0:y1, None] + colmod[None, :]
+        # bright "white matter" blobs on a coarse grid
+        band[(np.arange(y0, y1)[:, None] // 2048 + np.arange(size)[None, :] // 2048) % 3 == 0] += 55
+        out[y0:y1] = np.clip(band, 0, 255).astype(np.uint8)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", type=int, default=32768)
+    ap.add_argument("--preview", type=int, default=1)
+    args = ap.parse_args()
+
+    from vit_ocm_wmsegmentation_tpu import pipeline as pl
+    from vit_ocm_wmsegmentation_tpu.models import vit
+
+    size, window, stride = args.size, 384, 128
+    cfg = vit.VIT_SMALL(patch_size=8)
+    params = pl.cast_params(vit.init(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
+
+    t0 = time.time()
+    host = make_mosaic(size)
+    t_gen = time.time() - t0
+    print(f"synthesized {size}x{size} ({size * size / 1e9:.2f} GP) in {t_gen:.0f}s",
+          flush=True)
+
+    t0 = time.time()
+    img_dev = jax.device_put(host)
+    img_dev.block_until_ready()
+    t_up = time.time() - t0
+    print(f"upload: {t_up:.1f}s ({host.nbytes / 1e6 / max(t_up, 1e-9):.1f} MB/s)", flush=True)
+
+    last = [time.time(), 0]
+
+    def progress(done, total):
+        if done % 16 == 0 or done == total:
+            now = time.time()
+            print(f"  band {done}/{total} (+{now - last[0]:.1f}s)", flush=True)
+            last[0] = now
+
+    t0 = time.time()
+    mask, attn = pl.segment_mosaic_streamed(
+        params, cfg, img_dev, window, stride, dtype=jnp.bfloat16, progress=progress)
+    # scalar sync: all chained band dispatches + threshold truly executed
+    fg = float((mask > 0).astype(jnp.float32).mean())
+    t_seg = time.time() - t0
+    mp = size * size / 1e6
+    stats = jax.local_devices()[0].memory_stats() or {}
+    peak = stats.get("peak_bytes_in_use", 0)
+    n_tiles = ((size - window) // stride + 1) ** 2
+    result = {
+        "mosaic": f"{size}x{size}",
+        "gigapixels": round(size * size / 1e9, 3),
+        "tiles": n_tiles,
+        "upload_s": round(t_up, 1),
+        "segment_s": round(t_seg, 1),
+        "mp_per_s_device": round(mp / t_seg, 2),
+        "mp_per_s_end_to_end": round(mp / (t_up + t_seg), 2),
+        "ms_per_tile": round(t_seg * 1e3 / n_tiles, 3),
+        "peak_hbm_gb": round(peak / 1e9, 2),
+        "mask_fg_fraction": round(fg, 4),
+    }
+    print(json.dumps(result), flush=True)
+
+    if args.preview:
+        import os
+
+        os.makedirs("/tmp/gigapixel", exist_ok=True)
+        ds = size // 2048
+        from PIL import Image
+
+        Image.fromarray(np.asarray(mask[::ds, ::ds])).save("/tmp/gigapixel/mask_preview.png")
+        a = np.asarray(attn[::ds, ::ds])
+        a = ((a - a.min()) / max(a.max() - a.min(), 1e-9) * 255).astype(np.uint8)
+        Image.fromarray(a).save("/tmp/gigapixel/attn_preview.png")
+        print("previews written to /tmp/gigapixel/", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -191,6 +191,70 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     return stitched[:h, :w]
 
 
+# ---------------------------------------------------------------------------
+# Streamed gigapixel pipeline: one band of tile-rows per dispatch
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"),
+         donate_argnums=(3,))
+def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride, median_size, dtype):
+    """Process ONE row of tiles starting at mosaic row y0 and overlap-add its
+    weighted attention strip into the (H, W) f32 accumulator (donated).
+
+    The horizontal stitch within the strip uses the same blend profiles as
+    stitch_blended; the vertical profile for this tile row arrives as
+    wy_row (window,) so every band compiles to the same graph."""
+    h, w = img_dev.shape
+    strip = jax.lax.dynamic_slice(img_dev, (y0, jnp.int32(0)), (window, w))
+    xs = st.tile_starts(w, window, stride)
+    tiles = st.extract_tiles(strip, np.zeros(1, np.int32), xs, window)
+    maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
+    wx = st.blend_profiles_1d(len(xs), window, stride)
+    band = st.overlap_add(maps * wy_row[None, :, None].astype(maps.dtype),
+                          np.ones((1, window)), wx, window, stride, (window, w))
+    cur = jax.lax.dynamic_slice(acc, (y0, jnp.int32(0)), (window, w))
+    return jax.lax.dynamic_update_slice(acc, cur + band, (y0, jnp.int32(0)))
+
+
+def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
+                            median_size=1, dtype=jnp.float32, exact_stitch=False,
+                            progress=None):
+    """Gigapixel-capable segment_mosaic: identical numbers, bounded memory.
+
+    segment_mosaic materializes the full (T, window, window) per-tile
+    attention stack before stitching — ~38 GB at 32768² (64k tiles), far
+    past HBM. Here the mosaic and the f32 attention canvas stay
+    HBM-resident (~5.4 GB at 1.07 GP) and each dispatch processes one row
+    of tiles, overlap-adding its blended strip into the canvas; the final
+    threshold runs on device over the full canvas. The tile axis within a
+    band remains the data-parallel shard axis.
+
+    img_u8 may be a host numpy array (uploaded once) or a device array.
+    Returns (mask_u8 (H, W) {0,255} device array, attention (H, W) f32
+    device array).
+    """
+    img_u8 = jnp.asarray(img_u8)
+    padded, (h, w) = pad_mosaic(img_u8, window, stride)
+    ys = st.tile_starts(padded.shape[0], window, stride)
+    wy = st.blend_profiles_1d(len(ys), window, stride).astype(np.float32)
+    acc = jnp.zeros(padded.shape, jnp.float32)
+    for r, y0 in enumerate(ys):
+        acc = _band_update(params, cfg, padded, acc, jnp.int32(y0),
+                           jnp.asarray(wy[r]), window, stride, median_size, dtype)
+        if progress is not None:
+            progress(r + 1, len(ys))
+    attn = acc[:h, :w]
+    timg = img_u8 if not exact_stitch else st.restitch_u8(padded, window, stride)[:h, :w]
+    mask, _, _ = _threshold_mult_jit(timg, attn)
+    return mask, attn
+
+
+@jax.jit
+def _threshold_mult_jit(timg, attn):
+    return th.threshold_multiplicative(timg, attn)
+
+
 @partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype",
                                    "exact_stitch"))
 def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
