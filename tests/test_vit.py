@@ -173,3 +173,36 @@ def test_get_intermediate_layers_matches_feats(params):
     layers = vit.get_intermediate_layers(params, CFG, x, n=2)
     feats, _, _ = vit.get_intermediate_feat(params, CFG, x, n=2)
     np.testing.assert_allclose(np.asarray(layers), np.asarray(feats), atol=1e-6)
+
+
+def test_partial_checkpoint_load_strict_false_semantics():
+    """A depth-4 MIM encoder checkpoint loaded into the depth-12 eval model
+    fills blocks 0-3 and keeps the fresh init for 4-11 — the reference's own
+    trained-eval flow (model.py:91-109 trains depth 4; eval.py:76 loads with
+    strict=False). Without fresh_params the missing block raises."""
+    import numpy as np
+    import pytest as _pytest
+
+    from vit_ocm_wmsegmentation_tpu.train.checkpoint import (
+        vit_params_from_torch,
+        vit_params_to_torch,
+    )
+
+    cfg4 = vit.ViTConfig(patch_size=8, embed_dim=32, depth=4, num_heads=2,
+                         pretrain_img_size=32)
+    cfg12 = vit.ViTConfig(patch_size=8, embed_dim=32, depth=12, num_heads=2,
+                          pretrain_img_size=32)
+    trained = vit.init(cfg4, jax.random.PRNGKey(1))
+    sd = vit_params_to_torch(trained, cfg4)
+    fresh = vit.init(cfg12, jax.random.PRNGKey(2))
+
+    merged = vit_params_from_torch(sd, cfg12, fresh_params=fresh)
+    for g, leaf in (("attn", "wqkv"), ("mlp", "w1"), ("norm1", "scale")):
+        got = np.asarray(merged["blocks"][g][leaf])
+        np.testing.assert_allclose(got[:4], np.asarray(trained["blocks"][g][leaf]), atol=1e-7)
+        np.testing.assert_allclose(got[4:], np.asarray(fresh["blocks"][g][leaf][4:]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(merged["patch_embed"]["kernel"]),
+                               np.asarray(trained["patch_embed"]["kernel"]), atol=1e-7)
+
+    with _pytest.raises(KeyError):
+        vit_params_from_torch(sd, cfg12)

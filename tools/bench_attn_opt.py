@@ -1,0 +1,251 @@
+"""Flash-attention kernel optimization harness (slope-based timing).
+
+Round-2's kernel tuning optimized against overhead-deflated measurements;
+tools/probe_scaling.py showed the fixed ~28 ms scalar-sync latency was
+hiding the kernel's real position: 7.34 ms per mosaic-layer = 54.5 TF/s
+useful vs a ~88 TF/s pure-MXU shape ceiling (s-dot contraction 64 at half
+rate; o-dot 128-wide at full rate executing 2x useful FLOPs; peak 177-188
+TF/s per the paired-matmul slope probes). The ~2.8 ms/layer gap is VPU
+softmax time that does not overlap the MXU dots.
+
+Variants (one per process: `python tools/bench_attn_opt.py <variant>`):
+
+  v0      current production kernel (ops/flash_attention.py)
+  exp2    fold log2(e) into the q pre-scale and use exp2 (exp = exp2 + mul)
+  split2  two q half-blocks interleaved in one program, giving the Mosaic
+          scheduler independent MXU/VPU chains to overlap
+  split4  four-way interleave
+  grid2   block_q = N/2 via the grid (2 programs per (b,h))
+  nomax   drop the row-max pass (UNSAFE numerics probe: bounds the max
+          pass's cost, not a shippable variant)
+
+Each prints slope ms/iter (one iter = one mosaic-layer's attention:
+B=49, h=6, N=2305, d=64) and useful TF/s.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
+B, H, N, D = 49, 6, 2305, 64
+LOG2E = 1.4426950408889634
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+NP = _round_up(N, 128)  # 2432
+BQ = _round_up(N, 8)  # 2312
+
+
+def make_inputs(use_exp2=False, q_rows=BQ):
+    rng = np.random.default_rng(0)
+    scale = D**-0.5 * (LOG2E if use_exp2 else 1.0)
+    q = jnp.asarray(rng.normal(0, 1, (B * H, q_rows, D)) * scale, jnp.bfloat16)
+    kt = jnp.asarray(rng.normal(0, 1, (B * H, D, NP)), jnp.bfloat16)
+    v = rng.normal(0, 1, (B * H, NP, D))
+    ve = np.concatenate([v, np.ones((B * H, NP, 1)), np.zeros((B * H, NP, D - 1))], axis=-1)
+    ve = jnp.asarray(ve, jnp.bfloat16)
+    bias = jnp.where(jnp.arange(NP) < N, 0.0, -1e30).astype(jnp.float32)[None, :]
+    return q, kt, ve, bias
+
+
+def pallas_run(kernel, nq_blocks=1):
+    bq = BQ // nq_blocks if nq_blocks > 1 else BQ
+    if nq_blocks > 1:
+        bq = _round_up(bq, 8)
+    n_rows = _round_up(BQ, bq)
+
+    @jax.jit
+    def run(q, kt, ve, bias):
+        return pl.pallas_call(
+            kernel,
+            grid=(B * H, n_rows // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, NP), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NP, 2 * D), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, bq, D), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, n_rows, D), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024,
+            ),
+        )(q, kt, ve, bias)
+
+    return run, n_rows
+
+
+def kern_base(q_ref, kt_ref, ve_ref, bias_ref, o_ref, *, expfn):
+    q = q_ref[0]
+    kt = kt_ref[0]
+    ve = ve_ref[0]
+    s = jax.lax.dot_general(q, kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias_ref[:]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = expfn(s - m).astype(ve.dtype)
+    oe = jax.lax.dot_general(p, ve, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (oe[:, :D] / oe[:, D : D + 1]).astype(o_ref.dtype)
+
+
+def kern_nomax(q_ref, kt_ref, ve_ref, bias_ref, o_ref):
+    q = q_ref[0]
+    s = jax.lax.dot_general(q, kt_ref[0], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias_ref[:]
+    p = jnp.exp(s).astype(ve_ref.dtype)  # numerics probe only
+    oe = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (oe[:, :D] / oe[:, D : D + 1]).astype(o_ref.dtype)
+
+
+def _split_bounds(total, ways):
+    """8-aligned chunk boundaries covering [0, total] (last chunk absorbs
+    the remainder; total must itself be 8-aligned)."""
+    step = _round_up(-(-total // ways), 8)
+    bounds = list(range(0, total, step)) + [total]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def kern_split(q_ref, kt_ref, ve_ref, bias_ref, o_ref, *, ways, expfn):
+    kt = kt_ref[0]
+    ve = ve_ref[0]
+    bias = bias_ref[:]
+    # issue all s-dots first as independent chains, then their softmaxes,
+    # then the o-dots: the scheduler can overlap softmax_i (VPU) with
+    # s-dot_{i+1} / o-dot_{i-1} (MXU)
+    spans = _split_bounds(BQ, ways)
+    ss = [
+        jax.lax.dot_general(q_ref[0, a:b], kt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32) + bias
+        for a, b in spans
+    ]
+    ps = []
+    for s in ss:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        ps.append(expfn(s - m).astype(ve.dtype))
+    for (a, b), p in zip(spans, ps):
+        oe = jax.lax.dot_general(p, ve, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o_ref[0, a:b] = (oe[:, :D] / oe[:, D : D + 1]).astype(o_ref.dtype)
+
+
+def kern_stagger(q_ref, kt_ref, ve_ref, bias_ref, o_ref, *, ways, expfn):
+    """Explicit 3-stage software pipeline in one straight-line body:
+    emit order per step t =  o-dot(t-2) | softmax(t-1) | s-dot(t) — three
+    mutually independent chunks, so MXU (dots) and VPU (softmax) work can
+    overlap if the scheduler honors the dataflow."""
+    kt = kt_ref[0]
+    ve = ve_ref[0]
+    bias = bias_ref[:]
+    spans = _split_bounds(BQ, ways)
+    n = len(spans)
+    s = {}
+    p = {}
+    for t in range(n + 2):
+        if 0 <= t - 2 < n:
+            a, b = spans[t - 2]
+            oe = jax.lax.dot_general(p[t - 2], ve, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            o_ref[0, a:b] = (oe[:, :D] / oe[:, D : D + 1]).astype(o_ref.dtype)
+        if 0 <= t - 1 < n:
+            st = s[t - 1]
+            m = jnp.max(st, axis=-1, keepdims=True)
+            p[t - 1] = expfn(st - m).astype(ve.dtype)
+        if t < n:
+            a, b = spans[t]
+            s[t] = jax.lax.dot_general(q_ref[0, a:b], kt, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32) + bias
+
+
+def kern_bf16sm(q_ref, kt_ref, ve_ref, bias_ref, o_ref):
+    """Softmax VPU passes on bf16 s (half the bytes through the VPU; max and
+    exp tolerate bf16 — the denominator still accumulates in f32 on the MXU)."""
+    q = q_ref[0]
+    s32 = jax.lax.dot_general(q, kt_ref[0], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32) + bias_ref[:]
+    s = s32.astype(jnp.bfloat16)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    oe = jax.lax.dot_general(p, ve_ref[0], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    o_ref[0] = (oe[:, :D] / oe[:, D : D + 1]).astype(o_ref.dtype)
+
+
+def main():
+    which = sys.argv[1]
+    use_exp2 = which in ("exp2", "split2", "split4", "stagger2", "stagger4",
+                         "stagger8", "bf16sm")
+    expfn = jnp.exp2 if use_exp2 else jnp.exp
+    if which == "v0":
+        run, n_rows = pallas_run(functools.partial(kern_base, expfn=jnp.exp))
+    elif which == "exp2":
+        run, n_rows = pallas_run(functools.partial(kern_base, expfn=jnp.exp2))
+    elif which == "nomax":
+        run, n_rows = pallas_run(kern_nomax)
+    elif which == "split2":
+        run, n_rows = pallas_run(functools.partial(kern_split, ways=2, expfn=expfn))
+    elif which == "split4":
+        run, n_rows = pallas_run(functools.partial(kern_split, ways=4, expfn=expfn))
+    elif which == "grid2":
+        run, n_rows = pallas_run(functools.partial(kern_base, expfn=jnp.exp), nq_blocks=2)
+    elif which.startswith("stagger"):
+        run, n_rows = pallas_run(
+            functools.partial(kern_stagger, ways=int(which[len("stagger"):]), expfn=jnp.exp2))
+    elif which == "bf16sm":
+        run, n_rows = pallas_run(kern_bf16sm)
+    else:
+        raise SystemExit(which)
+
+    q, kt, ve, bias = make_inputs(use_exp2, q_rows=n_rows)
+
+    def chain(qq):
+        return run(qq, kt, ve, bias)
+
+    for _ in range(2):
+        o = chain(q)
+        float(jnp.sum(jnp.ravel(o)[:8].astype(jnp.float32)))
+    ns = [1, 2, 4, 8, 16, 32]
+    times = []
+    for n in ns:
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = q
+            for _ in range(n):
+                x = chain(x)
+            float(jnp.sum(jnp.ravel(x)[:8].astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    slope, intercept = np.polyfit(np.asarray(ns, float), np.asarray(times), 1)
+    fl = 4 * B * H * N * N * D
+    print(json.dumps({
+        "variant": which,
+        "slope_ms": round(slope * 1e3, 3),
+        "intercept_ms": round(intercept * 1e3, 2),
+        "useful_tflops": round(fl / slope / 1e12, 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -49,7 +49,8 @@ def _np(t) -> np.ndarray:
     return np.asarray(t, dtype=np.float32)
 
 
-def vit_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str = "teacher"):
+def vit_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str = "teacher",
+                          fresh_params=None):
     """Map a (cleaned) torch ViT state_dict onto our stacked-block pytree.
 
     Layout changes performed (see models/vit.py docstring):
@@ -59,6 +60,14 @@ def vit_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str 
     * per-block tensors stacked along a leading depth axis.
     Extra keys (head.*, mask_token when absent from cfg) are ignored, like
     the reference's strict=False loads.
+
+    ``fresh_params``: torch.load_state_dict(strict=False) semantics for
+    MISSING keys too — blocks absent from the checkpoint keep this freshly
+    initialized tree's values. The reference's own trained-eval flow relies
+    on this: MIM pretrains a depth-4 encoder (model.py:91-109) and eval.py
+    loads it into the depth-12 vit_small with strict=False (eval.py:76),
+    leaving blocks 4-11 at their random init. Without fresh_params a
+    missing key raises, like strict=True.
     """
     sd = clean_torch_state_dict(state_dict, checkpoint_key)
     d, L = cfg.embed_dim, cfg.depth
@@ -74,8 +83,31 @@ def vit_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str 
         "norm": {"scale": jnp.asarray(_np(sd["norm.weight"])), "bias": jnp.asarray(_np(sd["norm.bias"]))},
     }
 
+    def fresh_leaf(fmt, i, transpose):
+        # path into the stacked fresh tree, e.g. blocks.{}.attn.qkv.weight
+        # -> fresh["blocks"]["attn"]["wqkv"][i]
+        torch_to_ours = {
+            "blocks.{}.norm1.weight": ("norm1", "scale"), "blocks.{}.norm1.bias": ("norm1", "bias"),
+            "blocks.{}.attn.qkv.weight": ("attn", "wqkv"), "blocks.{}.attn.qkv.bias": ("attn", "bqkv"),
+            "blocks.{}.attn.proj.weight": ("attn", "wo"), "blocks.{}.attn.proj.bias": ("attn", "bo"),
+            "blocks.{}.norm2.weight": ("norm2", "scale"), "blocks.{}.norm2.bias": ("norm2", "bias"),
+            "blocks.{}.mlp.fc1.weight": ("mlp", "w1"), "blocks.{}.mlp.fc1.bias": ("mlp", "b1"),
+            "blocks.{}.mlp.fc2.weight": ("mlp", "w2"), "blocks.{}.mlp.fc2.bias": ("mlp", "b2"),
+        }
+        g, leaf = torch_to_ours[fmt]
+        a = np.asarray(fresh_params["blocks"][g][leaf][i])
+        return a.T if transpose else a  # stack() re-transposes below
+
     def stack(fmt, transpose=False):
-        mats = [_np(sd[fmt.format(i)]) for i in range(L)]
+        mats = []
+        for i in range(L):
+            key = fmt.format(i)
+            if key in sd:
+                mats.append(_np(sd[key]))
+            elif fresh_params is not None:
+                mats.append(fresh_leaf(fmt, i, transpose))
+            else:
+                raise KeyError(key)
         if transpose:
             mats = [m.T for m in mats]
         return jnp.asarray(np.stack(mats))
@@ -142,12 +174,13 @@ def vit_params_to_torch(params, cfg: ViTConfig) -> dict:
     return sd
 
 
-def load_torch_checkpoint(path: str, cfg: ViTConfig, checkpoint_key: str = "teacher"):
+def load_torch_checkpoint(path: str, cfg: ViTConfig, checkpoint_key: str = "teacher",
+                          fresh_params=None):
     """Load a .pth file (torch CPU) and convert. Raises if torch is missing."""
     import torch
 
     state_dict = torch.load(path, map_location="cpu", weights_only=False)
-    return vit_params_from_torch(state_dict, cfg, checkpoint_key)
+    return vit_params_from_torch(state_dict, cfg, checkpoint_key, fresh_params=fresh_params)
 
 
 def load_mim_or_vit_checkpoint(path: str, cfg: ViTConfig, fresh_params,
@@ -173,7 +206,12 @@ def load_pretrained(cfg: ViTConfig, arch: str, pretrained_weights: str = "",
     from ..models import vit as vit_mod
 
     if pretrained_weights and os.path.isfile(pretrained_weights):
-        return load_torch_checkpoint(pretrained_weights, cfg, checkpoint_key), pretrained_weights
+        # fresh_params backs the reference's strict=False partial load: a
+        # depth-4 MIM encoder checkpoint fills blocks 0-3 of the depth-12
+        # eval model, the rest keep their random init (eval.py:76)
+        fresh = vit_mod.init(cfg, jax.random.PRNGKey(rng_seed))
+        return (load_torch_checkpoint(pretrained_weights, cfg, checkpoint_key,
+                                      fresh_params=fresh), pretrained_weights)
     url = DINO_URLS.get((arch, cfg.patch_size))
     if url is not None:
         try:
