@@ -128,3 +128,45 @@ def test_mha_flash_grad_matches_chunked():
     g_flash = jax.grad(lambda p: jnp.sum(jnp.square(mha_flash(x, p, 2, interpret=True))))(params)
     for a, b in zip(jax.tree.leaves(g_flash), jax.tree.leaves(g_chunk)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3, rtol=1e-3)
+
+
+def test_attention_qkv_blocked_path(monkeypatch):
+    """The qkv-direct kernel's multi-block path (bq < N via a shrunken VMEM
+    budget) matches the oracle — q blocks then read row ranges of the padded
+    qkv tensor and _qkv_pad_rows must provision enough rows."""
+    import importlib
+
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    rng = np.random.default_rng(6)
+    b, h, n, d = 2, 2, 150, 32
+    qkv = jnp.asarray(rng.normal(0, 0.5, (b, n, 3 * h * d)).astype(np.float32))
+
+    want = fa.attention_qkv(qkv, h, n, True)
+
+    monkeypatch.setattr(fa, "_AUTO_VMEM_S_BYTES", 1024)
+    got = fa.attention_qkv.__wrapped__(qkv, h, n, True)  # bypass the vjp cache
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_attention_qkv_vjp_matches_xla():
+    """Grad through attention_qkv (Pallas fwd with lse + Pallas bwd) ==
+    grad through the materialized XLA attention, from the fused qkv tensor."""
+    rng = np.random.default_rng(8)
+    b, h, n, d = 2, 2, 70, 32
+    qkv = jnp.asarray(rng.normal(0, 0.5, (b, n, 3 * h * d)).astype(np.float32))
+
+    import importlib
+
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+
+    def ref(qkv):
+        q, k, v = att.split_qkv(qkv, h)
+        o = jnp.einsum("bhqk,bhkd->bhqd", att.attention_scores(q, k), v)
+        return jnp.sum(jnp.square(o.transpose(0, 2, 1, 3).reshape(b, n, h * d)))
+
+    def ours(qkv):
+        return jnp.sum(jnp.square(fa.attention_qkv(qkv, h, n, True)))
+
+    g_ref = jax.grad(ref)(qkv)
+    g_ours = jax.grad(ours)(qkv)
+    np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref), atol=3e-4)

@@ -118,6 +118,30 @@ def attn_workload():
     return run, q, 4 * b * h * n * n * d
 
 
+def mha_workload():
+    """The full MHSA block (qkv proj -> attention kernel -> out proj) at the
+    mosaic shape, as the model actually runs it — wrapper layout ops and all."""
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import mha_flash
+
+    b, n, dm, h = 49, 2305, 384, 6
+    rng = np.random.default_rng(0)
+    params = {
+        "wqkv": jnp.asarray(rng.normal(0, 0.03, (dm, 3 * dm)), jnp.bfloat16),
+        "bqkv": jnp.asarray(rng.normal(0, 0.03, (3 * dm,)), jnp.bfloat16),
+        "wo": jnp.asarray(rng.normal(0, 0.03, (dm, dm)), jnp.bfloat16),
+        "bo": jnp.asarray(rng.normal(0, 0.03, (dm,)), jnp.bfloat16),
+    }
+
+    @jax.jit
+    def run(x):
+        return mha_flash(x, params, h)
+
+    x0 = jnp.asarray(rng.normal(0, 1, (b, n, dm)), jnp.bfloat16)
+    d = dm // h
+    fl = 4 * b * h * n * n * d + 2 * b * n * dm * 4 * dm  # dots + qkv/proj
+    return run, x0, fl
+
+
 def mosaic_workload():
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
     from vit_ocm_wmsegmentation_tpu.models import vit
@@ -196,6 +220,9 @@ def main():
     elif which == "mim":
         run, x0f, fl = mim_workload()
         fit_and_report("mim_amp_step_224_b60", run, x0f, [1, 2, 4, 8, 16], fl)
+    elif which == "mha":
+        run, x0, fl = mha_workload()
+        fit_and_report("mha_block_mosaic_shape", run, x0, [1, 2, 4, 8, 16, 32], fl)
     else:
         raise SystemExit(f"unknown workload {which}")
 

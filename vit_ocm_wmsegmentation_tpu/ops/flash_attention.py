@@ -276,16 +276,193 @@ def _fa_bwd(block_q, interpret, res, do):
 flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
 
 
+# ---------------------------------------------------------------------------
+# qkv-direct forward: the kernel reads q/k/v straight out of the padded
+# (B, Np, 3, h, d) projection tensor via three BlockSpecs over the SAME
+# array, and writes output in (B, Npq, h, d) so the proj matmul consumes it
+# as a free reshape. Round-3 redesign: the round-2 wrapper spent ~1.3 ms per
+# mosaic-layer on HBM-level layout ops around the kernel (split_qkv
+# transpose, K pre-transpose, V‖ones concat, output transpose — measured by
+# tools/probe_scaling.py vs tools/bench_attn_opt.py v0); here every one of
+# those becomes either a BlockSpec index_map or a per-program VMEM scratch
+# fill, and the softmax is software-pipelined over q chunks so the VPU
+# passes overlap the MXU dots of neighboring chunks.
+# ---------------------------------------------------------------------------
+
+_STAGGER_WAYS = 4
+
+
+def _span_bounds(total: int, ways: int):
+    step = _round_up(-(-total // ways), 8)
+    bounds = list(range(0, total, step)) + [total]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def _attn_fwd_qkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, ve_scr,
+                         *, d: int, scale: float, ways: int):
+    k = k_ref[0, :, 0, 0, :]  # (Np, d)
+    v = v_ref[0, :, 0, 0, :]
+    npad = k.shape[0]
+    ve_scr[:, :d] = v
+    ve_scr[:, d:] = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (npad, d), 1) == 0, 1.0, 0.0
+    ).astype(ve_scr.dtype)
+    ve = ve_scr[:]  # (Np, 2d): [v | ones | zeros]
+    bias = bias_ref[:]
+    bq = q_ref.shape[1]
+    spans = _span_bounds(bq, ways)
+    nsp = len(spans)
+    # 3-stage software pipeline: step t emits o-dot(t-2) | softmax(t-1) |
+    # s-dot(t) — mutually independent chunks, so the scheduler can overlap
+    # the VPU softmax with the MXU dots of the neighboring chunks
+    s_buf, p_buf, m_buf = {}, {}, {}
+    for t in range(nsp + 2):
+        if 0 <= t - 2 < nsp:
+            a, b = spans[t - 2]
+            oe = jax.lax.dot_general(p_buf.pop(t - 2), ve, (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            denom = oe[:, d : d + 1]
+            o_ref[0, a:b, 0, :] = (oe[:, :d] / denom).astype(o_ref.dtype)
+            if lse_ref is not None:
+                lse_ref[0, a:b, 0, :] = m_buf.pop(t - 2) + jnp.log(denom)
+        if 0 <= t - 1 < nsp:
+            st = s_buf.pop(t - 1)
+            m = jnp.max(st, axis=-1, keepdims=True)
+            p_buf[t - 1] = jnp.exp(st - m).astype(ve.dtype)
+            if lse_ref is not None:
+                m_buf[t - 1] = m
+        if t < nsp:
+            a, b = spans[t]
+            q = (q_ref[0, a:b, 0, 0, :].astype(jnp.float32) * scale).astype(k.dtype)
+            s_buf[t] = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                           preferred_element_type=jnp.float32) + bias
+
+
+def _flash_fwd_qkv(qkv5, n: int, interpret: bool, want_lse: bool):
+    """qkv5: (B, Np, 3, h, d) padded projection tensor (bf16/f32).
+    Returns (out (B, Npq, h, d), lse (B, Npq, h, 1) or None)."""
+    b, np_, three, h, d = qkv5.shape
+    assert three == 3
+    scale = d**-0.5
+    bq = _round_up(n, 8)
+    assert bq <= np_
+    if bq * np_ * 4 > _AUTO_VMEM_S_BYTES:
+        bq = min(1216, np_)
+    nq = pl.cdiv(n, bq)
+    np_q = nq * bq
+    assert np_q <= np_, (np_q, np_)  # _qkv_pad_rows guarantees this
+    bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
+
+    blk_q = pl.BlockSpec((1, bq, 1, 1, d), lambda bb, hh, j: (bb, j, 0, hh, 0),
+                         memory_space=pltpu.VMEM)
+    blk_k = pl.BlockSpec((1, np_, 1, 1, d), lambda bb, hh, j: (bb, 0, 1, hh, 0),
+                         memory_space=pltpu.VMEM)
+    blk_v = pl.BlockSpec((1, np_, 1, 1, d), lambda bb, hh, j: (bb, 0, 2, hh, 0),
+                         memory_space=pltpu.VMEM)
+    blk_bias = pl.BlockSpec((1, np_), lambda bb, hh, j: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, bq, 1, d), lambda bb, hh, j: (bb, j, hh, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, np_q, h, d), qkv5.dtype)]
+    if want_lse:
+        out_specs.append(pl.BlockSpec((1, bq, 1, 1), lambda bb, hh, j: (bb, j, hh, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, np_q, h, 1), jnp.float32))
+
+    kern = functools.partial(
+        _attn_fwd_qkv_kernel if want_lse else _attn_fwd_qkv_kernel_nolse,
+        d=d, scale=scale, ways=_STAGGER_WAYS)
+    res = pl.pallas_call(
+        kern,
+        grid=(b, h, nq),
+        in_specs=[blk_q, blk_k, blk_v, blk_bias],
+        out_specs=tuple(out_specs) if want_lse else out_specs[0],
+        out_shape=tuple(out_shape) if want_lse else out_shape[0],
+        scratch_shapes=[pltpu.VMEM((np_, 2 * d), qkv5.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d,
+            bytes_accessed=b * h * (np_q + 2 * np_) * d * qkv5.dtype.itemsize * 2,
+            transcendentals=b * h * n * n,
+        ),
+        interpret=interpret,
+    )(qkv5, qkv5, qkv5, bias)
+    if want_lse:
+        return res[0], res[1]
+    return res, None
+
+
+def _attn_fwd_qkv_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, ve_scr,
+                               *, d: int, scale: float, ways: int):
+    _attn_fwd_qkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None, ve_scr,
+                         d=d, scale=scale, ways=ways)
+
+
+def _pack_qkv5(qkv, num_heads, n_to: int):
+    """(B, N, 3hd) projection output -> padded (B, Np, 3, h, d)."""
+    b, n, dd3 = qkv.shape
+    d = dd3 // 3 // num_heads
+    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
+    return jnp.pad(qkv5, ((0, 0), (0, n_to - n), (0, 0), (0, 0), (0, 0)))
+
+
+def _qkv_pad_rows(n: int) -> int:
+    """Rows the padded qkv tensor needs: key-pad to a lane multiple AND
+    enough rows for the last q block (bq can exceed np_ only when the
+    multi-block path rounds nq*bq past it)."""
+    np_ = _round_up(n, 128)
+    bq = _round_up(n, 8)
+    if bq * np_ * 4 > _AUTO_VMEM_S_BYTES:
+        bq = min(1216, np_)
+    return max(np_, pl.cdiv(n, bq) * bq)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def attention_qkv(qkv, num_heads, n: int, interpret: bool = False):
+    """softmax attention straight from the fused qkv projection:
+    (B, N, 3hd) -> (B, N, hd), no layout transposes in the forward."""
+    b = qkv.shape[0]
+    out, _ = _flash_fwd_qkv(_pack_qkv5(qkv, num_heads, _qkv_pad_rows(n)), n,
+                            interpret, want_lse=False)
+    return out[:, :n].reshape(b, n, -1)
+
+
+def _attention_qkv_fwd(qkv, num_heads, n, interpret):
+    b = qkv.shape[0]
+    qkv5 = _pack_qkv5(qkv, num_heads, _qkv_pad_rows(n))
+    out, lse = _flash_fwd_qkv(qkv5, n, interpret, want_lse=True)
+    o_flat = out[:, :n].reshape(b, n, -1)
+    return o_flat, (qkv5, out, lse)
+
+
+def _attention_qkv_bwd(n, interpret, res, do_flat):
+    qkv5, out, lse = res
+    b, np_, _, h, d = qkv5.shape
+    # recover the (B, h, N, d) views the backward kernel consumes; these
+    # transposes exist only on the training path (as in round 2)
+    q = qkv5[:, :n, 0].transpose(0, 2, 1, 3)
+    k = qkv5[:, :n, 1].transpose(0, 2, 1, 3)
+    v = qkv5[:, :n, 2].transpose(0, 2, 1, 3)
+    o = out[:, :n].transpose(0, 2, 1, 3)
+    lse_bh = lse.transpose(0, 2, 1, 3).reshape(b * h, -1, 1)
+    do = do_flat.reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, o, lse_bh, do, 0, interpret)
+    dqkv5 = jnp.stack([dq, dk, dv], axis=2)  # (B, h, 3, N, d)
+    dqkv = dqkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, 3 * h * d)
+    return (dqkv, None)
+
+
+attention_qkv.defvjp(_attention_qkv_fwd, _attention_qkv_bwd)
+
+
 def mha_flash(x, params, num_heads, *, interpret: bool = False):
     """Full MHSA block using the Pallas kernel (drop-in for mha_fused)."""
-    from .attention import split_qkv
-
     b, n, dmodel = x.shape
     qkv = jnp.dot(x, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "bqkv" in params:
         qkv = qkv + params["bqkv"].astype(x.dtype)
-    q, k, v = split_qkv(qkv, num_heads)
-    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
+    out = attention_qkv(qkv, num_heads, n, interpret)
     proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)
