@@ -419,7 +419,7 @@ def _qkv_pad_rows(n: int) -> int:
     return max(np_, pl.cdiv(n, bq) * bq)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def attention_qkv(qkv, num_heads, n: int, interpret: bool = False):
     """softmax attention straight from the fused qkv projection:
     (B, N, 3hd) -> (B, N, hd), no layout transposes in the forward."""
@@ -437,7 +437,7 @@ def _attention_qkv_fwd(qkv, num_heads, n, interpret):
     return o_flat, (qkv5, out, lse)
 
 
-def _attention_qkv_bwd(n, interpret, res, do_flat):
+def _attention_qkv_bwd(num_heads, n, interpret, res, do_flat):
     qkv5, out, lse = res
     b, np_, _, h, d = qkv5.shape
     # recover the (B, h, N, d) views the backward kernel consumes; these
@@ -451,7 +451,7 @@ def _attention_qkv_bwd(n, interpret, res, do_flat):
     dq, dk, dv = _flash_bwd_impl(q, k, v, o, lse_bh, do, 0, interpret)
     dqkv5 = jnp.stack([dq, dk, dv], axis=2)  # (B, h, 3, N, d)
     dqkv = dqkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, 3 * h * d)
-    return (dqkv, None)
+    return (dqkv,)
 
 
 attention_qkv.defvjp(_attention_qkv_fwd, _attention_qkv_bwd)
