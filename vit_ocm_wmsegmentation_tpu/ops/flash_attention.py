@@ -300,41 +300,46 @@ def _span_bounds(total: int, ways: int):
 
 def _attn_fwd_qkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, ve_scr,
                          *, d: int, scale: float, ways: int):
-    k = k_ref[0, :, 0, 0, :]  # (Np, d)
-    v = v_ref[0, :, 0, 0, :]
-    npad = k.shape[0]
-    ve_scr[:, :d] = v
-    ve_scr[:, d:] = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (npad, d), 1) == 0, 1.0, 0.0
-    ).astype(ve_scr.dtype)
-    ve = ve_scr[:]  # (Np, 2d): [v | ones | zeros]
+    """One program per (batch, q-block), ALL heads resident (the TPU
+    lowering requires the last two block dims — (h, d) here — be full).
+
+    3-stage software pipeline over the flattened (head, q-chunk) stage list:
+    step t emits o-dot(t-2) | softmax(t-1) | s-dot(t) — mutually independent
+    stages, so the VPU softmax can overlap the MXU dots of its neighbors."""
+    h = q_ref.shape[3]
     bias = bias_ref[:]
     bq = q_ref.shape[1]
-    spans = _span_bounds(bq, ways)
-    nsp = len(spans)
-    # 3-stage software pipeline: step t emits o-dot(t-2) | softmax(t-1) |
-    # s-dot(t) — mutually independent chunks, so the scheduler can overlap
-    # the VPU softmax with the MXU dots of the neighboring chunks
+    npad = k_ref.shape[1]
+    ones_pat = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (npad, d), 1) == 0, 1.0, 0.0
+    ).astype(ve_scr.dtype)
+    for hh in range(h):
+        ve_scr[hh, :, :d] = v_ref[0, :, 0, hh, :]
+        ve_scr[hh, :, d:] = ones_pat
+    stages = [(hh, a, b) for hh in range(h) for a, b in _span_bounds(bq, ways)]
+    nsp = len(stages)
     s_buf, p_buf, m_buf = {}, {}, {}
     for t in range(nsp + 2):
         if 0 <= t - 2 < nsp:
-            a, b = spans[t - 2]
-            oe = jax.lax.dot_general(p_buf.pop(t - 2), ve, (((1,), (0,)), ((), ())),
+            hh, a, b = stages[t - 2]
+            oe = jax.lax.dot_general(p_buf.pop(t - 2), ve_scr[hh],
+                                     (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             denom = oe[:, d : d + 1]
-            o_ref[0, a:b, 0, :] = (oe[:, :d] / denom).astype(o_ref.dtype)
+            o_ref[0, a:b, hh, :] = (oe[:, :d] / denom).astype(o_ref.dtype)
             if lse_ref is not None:
-                lse_ref[0, a:b, 0, :] = m_buf.pop(t - 2) + jnp.log(denom)
+                lse_ref[0, a:b, hh, :] = m_buf.pop(t - 2) + jnp.log(denom)
         if 0 <= t - 1 < nsp:
             st = s_buf.pop(t - 1)
             m = jnp.max(st, axis=-1, keepdims=True)
-            p_buf[t - 1] = jnp.exp(st - m).astype(ve.dtype)
+            p_buf[t - 1] = jnp.exp(st - m).astype(ve_scr.dtype)
             if lse_ref is not None:
                 m_buf[t - 1] = m
         if t < nsp:
-            a, b = spans[t]
-            q = (q_ref[0, a:b, 0, 0, :].astype(jnp.float32) * scale).astype(k.dtype)
-            s_buf[t] = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+            hh, a, b = stages[t]
+            q = (q_ref[0, a:b, 0, hh, :].astype(jnp.float32) * scale).astype(k_ref.dtype)
+            s_buf[t] = jax.lax.dot_general(q, k_ref[0, :, 0, hh, :],
+                                           (((1,), (1,)), ((), ())),
                                            preferred_element_type=jnp.float32) + bias
 
 
@@ -344,42 +349,39 @@ def _flash_fwd_qkv(qkv5, n: int, interpret: bool, want_lse: bool):
     b, np_, three, h, d = qkv5.shape
     assert three == 3
     scale = d**-0.5
-    bq = _round_up(n, 8)
-    assert bq <= np_
-    if bq * np_ * 4 > _AUTO_VMEM_S_BYTES:
-        bq = min(1216, np_)
+    bq, ways = _pick_block_qkv(n, np_)
     nq = pl.cdiv(n, bq)
     np_q = nq * bq
     assert np_q <= np_, (np_q, np_)  # _qkv_pad_rows guarantees this
     bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
 
-    blk_q = pl.BlockSpec((1, bq, 1, 1, d), lambda bb, hh, j: (bb, j, 0, hh, 0),
+    blk_q = pl.BlockSpec((1, bq, 1, h, d), lambda bb, j: (bb, j, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_k = pl.BlockSpec((1, np_, 1, 1, d), lambda bb, hh, j: (bb, 0, 1, hh, 0),
+    blk_k = pl.BlockSpec((1, np_, 1, h, d), lambda bb, j: (bb, 0, 1, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_v = pl.BlockSpec((1, np_, 1, 1, d), lambda bb, hh, j: (bb, 0, 2, hh, 0),
+    blk_v = pl.BlockSpec((1, np_, 1, h, d), lambda bb, j: (bb, 0, 2, 0, 0),
                          memory_space=pltpu.VMEM)
-    blk_bias = pl.BlockSpec((1, np_), lambda bb, hh, j: (0, 0), memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((1, bq, 1, d), lambda bb, hh, j: (bb, j, hh, 0),
+    blk_bias = pl.BlockSpec((1, np_), lambda bb, j: (0, 0), memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, bq, h, d), lambda bb, j: (bb, j, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b, np_q, h, d), qkv5.dtype)]
     if want_lse:
-        out_specs.append(pl.BlockSpec((1, bq, 1, 1), lambda bb, hh, j: (bb, j, hh, 0),
+        out_specs.append(pl.BlockSpec((1, bq, h, 1), lambda bb, j: (bb, j, 0, 0),
                                       memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b, np_q, h, 1), jnp.float32))
 
     kern = functools.partial(
         _attn_fwd_qkv_kernel if want_lse else _attn_fwd_qkv_kernel_nolse,
-        d=d, scale=scale, ways=_STAGGER_WAYS)
+        d=d, scale=scale, ways=ways)
     res = pl.pallas_call(
         kern,
-        grid=(b, h, nq),
+        grid=(b, nq),
         in_specs=[blk_q, blk_k, blk_v, blk_bias],
         out_specs=tuple(out_specs) if want_lse else out_specs[0],
         out_shape=tuple(out_shape) if want_lse else out_shape[0],
-        scratch_shapes=[pltpu.VMEM((np_, 2 * d), qkv5.dtype)],
+        scratch_shapes=[pltpu.VMEM((h, np_, 2 * d), qkv5.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel"),
+            dimension_semantics=("parallel", "parallel"),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -392,6 +394,18 @@ def _flash_fwd_qkv(qkv5, n: int, interpret: bool, want_lse: bool):
     if want_lse:
         return res[0], res[1]
     return res, None
+
+
+def _pick_block_qkv(n: int, np_: int):
+    """(bq, ways): q rows per program and softmax pipeline chunks, sized so
+    ~2 in-flight (bq/ways, Np) f32 score chunks stay within the VMEM budget."""
+    bq = _round_up(n, 8)
+    if bq * np_ * 4 > _AUTO_VMEM_S_BYTES:
+        bq = min(1216, np_)
+    ways = _STAGGER_WAYS
+    while ways < 64 and 2 * (-(-bq // ways)) * np_ * 4 > _AUTO_VMEM_S_BYTES // 2:
+        ways *= 2
+    return bq, ways
 
 
 def _attn_fwd_qkv_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, ve_scr,
@@ -410,12 +424,10 @@ def _pack_qkv5(qkv, num_heads, n_to: int):
 
 def _qkv_pad_rows(n: int) -> int:
     """Rows the padded qkv tensor needs: key-pad to a lane multiple AND
-    enough rows for the last q block (bq can exceed np_ only when the
-    multi-block path rounds nq*bq past it)."""
+    enough rows for the last q block (nq*bq can round past np_ on the
+    multi-block path)."""
     np_ = _round_up(n, 128)
-    bq = _round_up(n, 8)
-    if bq * np_ * 4 > _AUTO_VMEM_S_BYTES:
-        bq = min(1216, np_)
+    bq, _ = _pick_block_qkv(n, np_)
     return max(np_, pl.cdiv(n, bq) * bq)
 
 
