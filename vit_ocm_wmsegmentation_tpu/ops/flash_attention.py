@@ -470,11 +470,22 @@ attention_qkv.defvjp(_attention_qkv_fwd, _attention_qkv_bwd)
 
 
 def mha_flash(x, params, num_heads, *, interpret: bool = False):
-    """Full MHSA block using the Pallas kernel (drop-in for mha_fused)."""
+    """Full MHSA block using the Pallas kernel (drop-in for mha_fused).
+
+    Routes through the proven (B, h, N, d)-folded kernel. The qkv-direct
+    kernel above (attention_qkv) eliminates the split/transpose layout ops
+    but its 5-D block shapes do not lower on current Mosaic ("unsupported
+    shape cast" on the (bq, d) <-> (1, bq, 1, d) reshape); it stays an
+    interpret-mode-tested experiment until the layout is restructured.
+    """
+    from .attention import split_qkv
+
     b, n, dmodel = x.shape
     qkv = jnp.dot(x, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "bqkv" in params:
         qkv = qkv + params["bqkv"].astype(x.dtype)
-    out = attention_qkv(qkv, num_heads, n, interpret)
+    q, k, v = split_qkv(qkv, num_heads)
+    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
     proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)
