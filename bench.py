@@ -66,14 +66,19 @@ def main():
     mask, attn = run(chain(img, mask))
     float(jnp.sum(attn))  # scalar sync: warmup truly finished
 
+    # min over repeats: the relay adds sporadic multi-ms stalls; the fastest
+    # full chain is the one where the device ran back-to-back, which is the
+    # sustained rate (cross-checked by tools/probe_scaling.py's slope fit)
     iters = 20
-    im = img
-    start = time.perf_counter()
-    for _ in range(iters):
-        mask, attn = run(im)
-        im = chain(im, mask)
-    float(jnp.sum(attn))  # scalar sync: all chained dispatches executed
-    dt = time.perf_counter() - start
+    dt = 1e9
+    for _ in range(3):
+        im = img
+        start = time.perf_counter()
+        for _ in range(iters):
+            mask, attn = run(im)
+            im = chain(im, mask)
+        float(jnp.sum(attn))  # scalar sync: all chained dispatches executed
+        dt = min(dt, time.perf_counter() - start)
 
     mp = size * size / 1e6
     mp_per_s = mp * iters / dt

@@ -142,6 +142,30 @@ def mha_workload():
     return run, x0, fl
 
 
+def vitblock_workload():
+    """One full ViT block (LN -> mha -> residual -> LN -> MLP -> residual)
+    at the mosaic shape on the padded stream, as lax.scan runs it. The gap
+    between this slope and (mha slope + dense FLOPs / sustained matmul rate)
+    is the non-matmul tail: LN/GELU/residual HBM round trips."""
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import padded_rows
+
+    b, n, dm, h = 49, 2305, 384, 6
+    cfg = vit.ViTConfig(patch_size=8, embed_dim=dm, depth=1, num_heads=h)
+    rng = np.random.default_rng(0)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    bp = jax.tree.map(lambda a: a[0].astype(jnp.bfloat16), params["blocks"])
+
+    @jax.jit
+    def run(x):
+        return vit._block_forward(bp, cfg, x, n_valid=n)
+
+    x0 = jnp.asarray(rng.normal(0, 1, (b, padded_rows(n), dm)), jnp.bfloat16)
+    d = dm // h
+    fl = 4 * b * h * n * n * d + 2 * b * n * dm * (4 * dm + 2 * 4 * dm)
+    return run, x0, fl
+
+
 def mosaic_workload():
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
     from vit_ocm_wmsegmentation_tpu.models import vit
@@ -223,6 +247,9 @@ def main():
     elif which == "mha":
         run, x0, fl = mha_workload()
         fit_and_report("mha_block_mosaic_shape", run, x0, [1, 2, 4, 8, 16, 32], fl)
+    elif which == "vitblock":
+        run, x0, fl = vitblock_workload()
+        fit_and_report("vit_block_mosaic_shape", run, x0, [1, 2, 4, 8, 16, 32], fl)
     else:
         raise SystemExit(f"unknown workload {which}")
 

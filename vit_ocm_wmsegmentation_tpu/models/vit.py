@@ -154,17 +154,21 @@ def prepare_tokens(params, cfg: ViTConfig, x):
     return tok + pos.astype(tok.dtype)
 
 
-def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto"):
+def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None):
     """One pre-norm transformer block (vision_transformer.py:94-114).
 
     impl: "auto" (Pallas flash on TPU, differentiable via the custom VJP in
     ops/flash_attention.py; XLA fallback elsewhere), "chunked"
     (streaming-softmax XLA path, differentiable), "materialize" (full
     attention matrix, used by the extraction paths).
+
+    n_valid (impl="auto" only): x is a padded residual stream; the flash
+    kernel masks the padded key columns, LN/MLP are row-local so the pad
+    rows carry garbage-but-finite values that never touch valid rows.
     """
     h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
     if impl == "auto":
-        y = att.mha_auto(h, bp["attn"], cfg.num_heads)
+        y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid)
     elif impl == "chunked":
         y = att.mha_fused(h, bp["attn"], cfg.num_heads)
     else:
@@ -178,17 +182,39 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto"):
 
 
 def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto", remat=False):
-    """Run blocks [lo, hi) under lax.scan over the stacked depth axis."""
+    """Run blocks [lo, hi) under lax.scan over the stacked depth axis.
+
+    On TPU with the flat flash kernel active, the token stream is padded to
+    the kernel's row multiple ONCE here and sliced back after the scan, so
+    no per-layer pad/slice/transpose touches HBM (ops/flash_attention.py
+    "qkvflat" design). Contract unchanged: (B, N, D) in, (B, N, D) out.
+    """
     if hi <= lo:
         return x
+    from ..ops.flash_attention import padded_rows, qkvflat_fits
+
+    n = x.shape[1]
+    pad_stream = (
+        impl == "auto"
+        and jax.default_backend() in ("tpu", "axon")
+        and qkvflat_fits(n, cfg.num_heads, cfg.head_dim)
+    )
+    n_valid = None
+    if pad_stream:
+        np_ = padded_rows(n)
+        if np_ != n:
+            x = jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+        n_valid = n
     sliced = jax.tree.map(lambda a: a[lo:hi], params["blocks"])
 
     def body(carry, bp):
-        return _block_forward(bp, cfg, carry, impl=impl), None
+        return _block_forward(bp, cfg, carry, impl=impl, n_valid=n_valid), None
 
     if remat:
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, sliced)
+    if pad_stream and x.shape[1] != n:
+        x = x[:, :n]
     return x
 
 

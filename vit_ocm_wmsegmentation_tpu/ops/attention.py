@@ -93,13 +93,20 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     return proj.astype(x.dtype)
 
 
-def mha_auto(x, params, num_heads):
+def mha_auto(x, params, num_heads, *, n_valid=None):
     """Backend dispatch: the Pallas flash kernel on TPU backends, the
-    chunked XLA path elsewhere (CPU tests, autodiff)."""
+    chunked XLA path elsewhere (CPU tests, autodiff).
+
+    n_valid marks x as a padded residual stream (flash_attention.mha_flash);
+    the CPU fallback slices to the valid rows and pads the result back.
+    """
     if jax.default_backend() in ("tpu", "axon"):
         from .flash_attention import mha_flash
 
-        return mha_flash(x, params, num_heads)
+        return mha_flash(x, params, num_heads, n_valid=n_valid)
+    if n_valid is not None and n_valid != x.shape[1]:
+        out = mha_fused(x[:, :n_valid], params, num_heads)
+        return jnp.pad(out, ((0, 0), (0, x.shape[1] - n_valid), (0, 0)))
     return mha_fused(x, params, num_heads)
 
 

@@ -221,6 +221,8 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret):
     # padded q rows: lse was computed with all -1e30 logits -> m=-1e30,
     # denom=bq... their p rows are garbage but sliced off; make them finite
     lse = jnp.nan_to_num(lse, posinf=0.0, neginf=0.0)
+    if lse.shape[1] < np_q:  # callers may pass only the n valid rows
+        lse = jnp.pad(lse, ((0, 0), (0, np_q - lse.shape[1]), (0, 0)))
 
     blk_q = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     blk_kv = pl.BlockSpec((1, np_, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -277,215 +279,244 @@ flash_attention_trainable.defvjp(_fa_fwd, _fa_bwd)
 
 
 # ---------------------------------------------------------------------------
-# qkv-direct forward: the kernel reads q/k/v straight out of the padded
-# (B, Np, 3, h, d) projection tensor via three BlockSpecs over the SAME
-# array, and writes output in (B, Npq, h, d) so the proj matmul consumes it
-# as a free reshape. Round-3 redesign: the round-2 wrapper spent ~1.3 ms per
-# mosaic-layer on HBM-level layout ops around the kernel (split_qkv
-# transpose, K pre-transpose, V‖ones concat, output transpose — measured by
-# tools/probe_scaling.py vs tools/bench_attn_opt.py v0); here every one of
-# those becomes either a BlockSpec index_map or a per-program VMEM scratch
-# fill, and the softmax is software-pipelined over q chunks so the VPU
-# passes overlap the MXU dots of neighboring chunks.
+# qkv-direct forward (round-3 "qkvflat" design): the kernel consumes the
+# fused projection tensor (B, Np, 3hd) AS IS — a legal 3-D block (the last
+# dim is loaded whole), with q/k/v per head taken as 64/128-lane in-register
+# slices — and writes (B, Np, hd) that the out-proj matmul consumes
+# directly. The round-2 wrapper spent ~1.6 ms per mosaic-layer on HBM-level
+# layout ops around the kernel (split_qkv transpose, K pre-transpose,
+# V‖ones concat, output transpose — tools/probe_scaling.py `mha` vs `attn`);
+# here all of them disappear. Two further kernel-level changes, both
+# slope-measured on chip (tools/bench_attn_opt.py):
+#
+# * the O(bq·Np) row-max pass is replaced by a Cauchy-Schwarz bound
+#   m_i = |q_i|·max_j|k_j| (O((bq+Np)·d)): softmax is shift-invariant, so
+#   any per-row upper bound of the logits prevents exp overflow, and
+#   lse = m + log(denom) is still exactly logsumexp. 6.07 -> 5.35 ms/layer.
+#   Underflow to an all-zero row needs bound slack > 87 nats — out of reach
+#   for LN'd ViT activations (|q||k| must exceed ~150 post-scale); the
+#   denominator is clamped so even adversarial inputs degrade to a zero row
+#   instead of NaN.
+# * V‖ones is assembled per head as an in-register concat (SSA value), NOT
+#   in a reused VMEM scratch: on current Mosaic, rewriting one scratch
+#   buffer across the unrolled head iterations and feeding it to the MXU
+#   miscompiles — the dot of one head consumed a STALE scratch (observed as
+#   a deterministic single-head 70%-relative error in bf16; f32 dodged it
+#   only by perturbing the schedule). Diagnosed by on-chip bisection:
+#   slice->store identity clean, f32 p@ve clean, per-head scratch regions
+#   clean, SSA concat clean — only the reused-scratch bf16 form corrupt.
+#   The SSA form has explicit dataflow deps, costs nothing (73.6 vs
+#   73.7 TF/s slope-measured), and cannot alias.
+#
+# An earlier 5-D (B, Np, 3, h, d) blocked design failed Mosaic lowering
+# ("unsupported shape cast"); blocking the head dim out of the last-two
+# block dims is illegal on TPU. The flat layout sidesteps that entirely.
 # ---------------------------------------------------------------------------
 
-_STAGGER_WAYS = 4
+_DENOM_TINY = 1e-35  # adversarial-input guard; never binds for sane inputs
 
 
-def _span_bounds(total: int, ways: int):
-    step = _round_up(-(-total // ways), 8)
-    bounds = list(range(0, total, step)) + [total]
-    return list(zip(bounds[:-1], bounds[1:]))
-
-
-def _attn_fwd_qkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, ve_scr,
-                         *, d: int, scale: float, ways: int):
-    """One program per (batch, q-block), ALL heads resident (the TPU
-    lowering requires the last two block dims — (h, d) here — be full).
-
-    3-stage software pipeline over the flattened (head, q-chunk) stage list:
-    step t emits o-dot(t-2) | softmax(t-1) | s-dot(t) — mutually independent
-    stages, so the VPU softmax can overlap the MXU dots of its neighbors."""
-    h = q_ref.shape[3]
+def _attn_fwd_qkvflat_kernel(qkv_ref, bias_ref, o_ref, lse_ref,
+                             *, h: int, d: int):
+    """One program per batch element, all rows resident; heads unrolled
+    (python loop over a static h). qkv_ref: (1, Np, 3hd) with the q section
+    pre-scaled (scale folded into wqkv's q columns at trace time)."""
+    dm = h * d
+    rows = qkv_ref.shape[1]
     bias = bias_ref[:]
-    bq = q_ref.shape[1]
-    npad = k_ref.shape[1]
+    dtype = qkv_ref.dtype
     ones_pat = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (npad, d), 1) == 0, 1.0, 0.0
-    ).astype(ve_scr.dtype)
+        jax.lax.broadcasted_iota(jnp.int32, (rows, d), 1) == 0, 1.0, 0.0
+    ).astype(dtype)
     for hh in range(h):
-        ve_scr[hh, :, :d] = v_ref[0, :, 0, hh, :]
-        ve_scr[hh, :, d:] = ones_pat
-    stages = [(hh, a, b) for hh in range(h) for a, b in _span_bounds(bq, ways)]
-    nsp = len(stages)
-    s_buf, p_buf, m_buf = {}, {}, {}
-    for t in range(nsp + 2):
-        if 0 <= t - 2 < nsp:
-            hh, a, b = stages[t - 2]
-            oe = jax.lax.dot_general(p_buf.pop(t - 2), ve_scr[hh],
-                                     (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            denom = oe[:, d : d + 1]
-            o_ref[0, a:b, hh, :] = (oe[:, :d] / denom).astype(o_ref.dtype)
-            if lse_ref is not None:
-                lse_ref[0, a:b, hh, :] = m_buf.pop(t - 2) + jnp.log(denom)
-        if 0 <= t - 1 < nsp:
-            st = s_buf.pop(t - 1)
-            m = jnp.max(st, axis=-1, keepdims=True)
-            p_buf[t - 1] = jnp.exp(st - m).astype(ve_scr.dtype)
-            if lse_ref is not None:
-                m_buf[t - 1] = m
-        if t < nsp:
-            hh, a, b = stages[t]
-            q = (q_ref[0, a:b, 0, hh, :].astype(jnp.float32) * scale).astype(k_ref.dtype)
-            s_buf[t] = jax.lax.dot_general(q, k_ref[0, :, 0, hh, :],
-                                           (((1,), (1,)), ((), ())),
-                                           preferred_element_type=jnp.float32) + bias
+        q = qkv_ref[0, :, hh * d : (hh + 1) * d]
+        k = qkv_ref[0, :, dm + hh * d : dm + (hh + 1) * d]
+        v = qkv_ref[0, :, 2 * dm + hh * d : 2 * dm + (hh + 1) * d]
+        ve = jnp.concatenate([v, ones_pat], axis=1)  # SSA; see header comment
+        qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+        kmax = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=1)))
+        m = qn * kmax  # >= row max of s (Cauchy-Schwarz on the same values)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) + bias
+        p = jnp.exp(s - m).astype(dtype)
+        oe = jax.lax.dot_general(p, ve, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        denom = jnp.maximum(oe[:, d : d + 1], _DENOM_TINY)
+        o_ref[0, :, hh * d : (hh + 1) * d] = (oe[:, :d] / denom).astype(o_ref.dtype)
+        if lse_ref is not None:
+            # exactly logsumexp: m + log(sum_j exp(s_j - m)); lane-hh write
+            # exists only on the training path
+            lse_ref[0, :, hh : hh + 1] = m + jnp.log(denom)
 
 
-def _flash_fwd_qkv(qkv5, n: int, interpret: bool, want_lse: bool):
-    """qkv5: (B, Np, 3, h, d) padded projection tensor (bf16/f32).
-    Returns (out (B, Npq, h, d), lse (B, Npq, h, 1) or None)."""
-    b, np_, three, h, d = qkv5.shape
-    assert three == 3
-    scale = d**-0.5
-    bq, ways = _pick_block_qkv(n, np_)
-    nq = pl.cdiv(n, bq)
-    np_q = nq * bq
-    assert np_q <= np_, (np_q, np_)  # _qkv_pad_rows guarantees this
+def _attn_fwd_qkvflat_kernel_nolse(qkv_ref, bias_ref, o_ref, *, h, d):
+    _attn_fwd_qkvflat_kernel(qkv_ref, bias_ref, o_ref, None, h=h, d=d)
+
+
+def _qkv_pad_rows(n: int) -> int:
+    """Rows the padded qkv/residual tensors carry on the flat-kernel path."""
+    return _round_up(n, 128)
+
+
+def qkvflat_fits(n: int, num_heads: int, head_dim: int) -> bool:
+    """True when the one-program-per-batch flat kernel's VMEM working set
+    (f32 scores + bf16 p + in/out blocks) fits the budget; callers fall back
+    to the folded multi-block kernel otherwise."""
+    np_ = _qkv_pad_rows(n)
+    dm = num_heads * head_dim
+    need = 6 * np_ * np_ + 2 * (3 * dm + dm) * np_ * 2 + np_ * 2 * head_dim * 2
+    return need <= 80 * 1024 * 1024
+
+
+def _flash_fwd_qkvflat(qkv, num_heads, n: int, interpret: bool, want_lse: bool):
+    """qkv: (B, Np, 3hd) padded fused projection, q section pre-scaled.
+    Returns (out (B, Np, hd), lse (B, Np, h) f32 or None)."""
+    b, np_, cols = qkv.shape
+    d = cols // 3 // num_heads
+    dm = num_heads * d
     bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
 
-    blk_q = pl.BlockSpec((1, bq, 1, h, d), lambda bb, j: (bb, j, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    blk_k = pl.BlockSpec((1, np_, 1, h, d), lambda bb, j: (bb, 0, 1, 0, 0),
-                         memory_space=pltpu.VMEM)
-    blk_v = pl.BlockSpec((1, np_, 1, h, d), lambda bb, j: (bb, 0, 2, 0, 0),
-                         memory_space=pltpu.VMEM)
-    blk_bias = pl.BlockSpec((1, np_), lambda bb, j: (0, 0), memory_space=pltpu.VMEM)
-    out_specs = [pl.BlockSpec((1, bq, h, d), lambda bb, j: (bb, j, 0, 0),
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((b, np_q, h, d), qkv5.dtype)]
+    out_specs = [pl.BlockSpec((1, np_, dm), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, np_, dm), qkv.dtype)]
     if want_lse:
-        out_specs.append(pl.BlockSpec((1, bq, h, 1), lambda bb, j: (bb, j, 0, 0),
+        out_specs.append(pl.BlockSpec((1, np_, num_heads), lambda i: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
-        out_shape.append(jax.ShapeDtypeStruct((b, np_q, h, 1), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((b, np_, num_heads), jnp.float32))
 
     kern = functools.partial(
-        _attn_fwd_qkv_kernel if want_lse else _attn_fwd_qkv_kernel_nolse,
-        d=d, scale=scale, ways=ways)
+        _attn_fwd_qkvflat_kernel if want_lse else _attn_fwd_qkvflat_kernel_nolse,
+        h=num_heads, d=d)
     res = pl.pallas_call(
         kern,
-        grid=(b, nq),
-        in_specs=[blk_q, blk_k, blk_v, blk_bias],
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, np_, cols), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
         out_specs=tuple(out_specs) if want_lse else out_specs[0],
         out_shape=tuple(out_shape) if want_lse else out_shape[0],
-        scratch_shapes=[pltpu.VMEM((h, np_, 2 * d), qkv5.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
+            dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * n * d,
-            bytes_accessed=b * h * (np_q + 2 * np_) * d * qkv5.dtype.itemsize * 2,
-            transcendentals=b * h * n * n,
+            flops=4 * b * num_heads * np_ * np_ * d,
+            bytes_accessed=b * np_ * (3 * dm + dm) * qkv.dtype.itemsize,
+            transcendentals=b * num_heads * np_ * np_,
         ),
         interpret=interpret,
-    )(qkv5, qkv5, qkv5, bias)
+    )(qkv, bias)
     if want_lse:
         return res[0], res[1]
     return res, None
 
 
-def _pick_block_qkv(n: int, np_: int):
-    """(bq, ways): q rows per program and softmax pipeline chunks, sized so
-    ~2 in-flight (bq/ways, Np) f32 score chunks stay within the VMEM budget."""
-    bq = _round_up(n, 8)
-    if bq * np_ * 4 > _AUTO_VMEM_S_BYTES:
-        bq = min(1216, np_)
-    ways = _STAGGER_WAYS
-    while ways < 64 and 2 * (-(-bq // ways)) * np_ * 4 > _AUTO_VMEM_S_BYTES // 2:
-        ways *= 2
-    return bq, ways
-
-
-def _attn_fwd_qkv_kernel_nolse(q_ref, k_ref, v_ref, bias_ref, o_ref, ve_scr,
-                               *, d: int, scale: float, ways: int):
-    _attn_fwd_qkv_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, None, ve_scr,
-                         d=d, scale=scale, ways=ways)
-
-
-def _pack_qkv5(qkv, num_heads, n_to: int):
-    """(B, N, 3hd) projection output -> padded (B, Np, 3, h, d)."""
-    b, n, dd3 = qkv.shape
-    d = dd3 // 3 // num_heads
-    qkv5 = qkv.reshape(b, n, 3, num_heads, d)
-    return jnp.pad(qkv5, ((0, 0), (0, n_to - n), (0, 0), (0, 0), (0, 0)))
-
-
-def _qkv_pad_rows(n: int) -> int:
-    """Rows the padded qkv tensor needs: key-pad to a lane multiple AND
-    enough rows for the last q block (nq*bq can round past np_ on the
-    multi-block path)."""
-    np_ = _round_up(n, 128)
-    bq, _ = _pick_block_qkv(n, np_)
-    return max(np_, pl.cdiv(n, bq) * bq)
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def attention_qkv(qkv, num_heads, n: int, interpret: bool = False):
-    """softmax attention straight from the fused qkv projection:
-    (B, N, 3hd) -> (B, N, hd), no layout transposes in the forward."""
-    b = qkv.shape[0]
-    out, _ = _flash_fwd_qkv(_pack_qkv5(qkv, num_heads, _qkv_pad_rows(n)), n,
-                            interpret, want_lse=False)
-    return out[:, :n].reshape(b, n, -1)
+    """softmax attention straight from the fused qkv projection.
+
+    qkv: (B, Np, 3hd), rows >= n padded with anything finite (their outputs
+    are garbage and their key columns are masked); the q section must carry
+    the 1/sqrt(d) scale already. Returns (B, Np, hd) — padded rows stay,
+    so a padded residual stream flows through with zero layout ops.
+    """
+    out, _ = _flash_fwd_qkvflat(qkv, num_heads, n, interpret, want_lse=False)
+    return out
 
 
 def _attention_qkv_fwd(qkv, num_heads, n, interpret):
-    b = qkv.shape[0]
-    qkv5 = _pack_qkv5(qkv, num_heads, _qkv_pad_rows(n))
-    out, lse = _flash_fwd_qkv(qkv5, n, interpret, want_lse=True)
-    o_flat = out[:, :n].reshape(b, n, -1)
-    return o_flat, (qkv5, out, lse)
+    out, lse = _flash_fwd_qkvflat(qkv, num_heads, n, interpret, want_lse=True)
+    return out, (qkv, out, lse)
 
 
-def _attention_qkv_bwd(num_heads, n, interpret, res, do_flat):
-    qkv5, out, lse = res
-    b, np_, _, h, d = qkv5.shape
+def _attention_qkv_bwd(num_heads, n, interpret, res, do_pad):
+    qkv, out, lse = res
+    b, np_, cols = qkv.shape
+    h = num_heads
+    d = cols // 3 // h
     # recover the (B, h, N, d) views the backward kernel consumes; these
-    # transposes exist only on the training path (as in round 2)
-    q = qkv5[:, :n, 0].transpose(0, 2, 1, 3)
-    k = qkv5[:, :n, 1].transpose(0, 2, 1, 3)
-    v = qkv5[:, :n, 2].transpose(0, 2, 1, 3)
-    o = out[:, :n].transpose(0, 2, 1, 3)
-    lse_bh = lse.transpose(0, 2, 1, 3).reshape(b * h, -1, 1)
-    do = do_flat.reshape(b, n, h, d).transpose(0, 2, 1, 3)
-    dq, dk, dv = _flash_bwd_impl(q, k, v, o, lse_bh, do, 0, interpret)
+    # transposes exist only on the training path
+    qkv5 = qkv[:, :n].reshape(b, n, 3, h, d)
+    q = qkv5[:, :, 0].transpose(0, 2, 1, 3)  # pre-scaled, as _flash_bwd expects... see below
+    k = qkv5[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv5[:, :, 2].transpose(0, 2, 1, 3)
+    o = out[:, :n].reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    lse_bh = lse[:, :n].transpose(0, 2, 1).reshape(b * h, n, 1)
+    do = do_pad[:, :n].reshape(b, n, h, d).transpose(0, 2, 1, 3)
+    # q arrives ALREADY scaled (the fold happened in the caller's weights);
+    # _flash_bwd_impl scales internally, so feed it the unscaled q and let
+    # it re-apply — then dq comes back in unscaled-q units and must be
+    # rescaled to match the pre-scaled input.
+    scale = d**-0.5
+    dq, dk, dv = _flash_bwd_impl((q.astype(jnp.float32) / scale).astype(q.dtype),
+                                 k, v, o, lse_bh, do, 0, interpret)
+    dq = (dq.astype(jnp.float32) / scale).astype(q.dtype)
     dqkv5 = jnp.stack([dq, dk, dv], axis=2)  # (B, h, 3, N, d)
-    dqkv = dqkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, 3 * h * d)
-    return (dqkv,)
+    dqkv = dqkv5.transpose(0, 3, 2, 1, 4).reshape(b, n, cols)
+    return (jnp.pad(dqkv, ((0, 0), (0, np_ - n), (0, 0))),)
 
 
 attention_qkv.defvjp(_attention_qkv_fwd, _attention_qkv_bwd)
 
 
-def mha_flash(x, params, num_heads, *, interpret: bool = False):
+padded_rows = _qkv_pad_rows  # public alias for the padded-residual-stream callers
+
+
+def _scaled_qkv_weights(params, num_heads):
+    """Fold the 1/sqrt(d) attention scale into wqkv's q columns (and the q
+    section of the bias) at trace time — a (D, 3D) elementwise op on the
+    weight, free relative to any per-activation pass."""
+    wqkv = params["wqkv"]
+    dm = wqkv.shape[0]
+    scale = (dm // num_heads) ** -0.5
+    colscale = jnp.concatenate(
+        [jnp.full((dm,), scale, jnp.float32), jnp.ones((2 * dm,), jnp.float32)])
+    wq = (wqkv.astype(jnp.float32) * colscale).astype(wqkv.dtype)
+    bq = params["bqkv"].astype(jnp.float32) * colscale if "bqkv" in params else None
+    return wq, bq
+
+
+def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
+              interpret: bool = False):
     """Full MHSA block using the Pallas kernel (drop-in for mha_fused).
 
-    Routes through the proven (B, h, N, d)-folded kernel. The qkv-direct
-    kernel above (attention_qkv) eliminates the split/transpose layout ops
-    but its 5-D block shapes do not lower on current Mosaic ("unsupported
-    shape cast" on the (bq, d) <-> (1, bq, 1, d) reshape); it stays an
-    interpret-mode-tested experiment until the layout is restructured.
+    With ``n_valid=None`` (drop-in mode) x is (B, N, D); the function pads
+    to the kernel's row multiple internally and returns (B, N, D). With
+    ``n_valid=n`` x is an ALREADY padded residual stream of
+    ``padded_rows(n)`` rows (vit._scan_blocks pads once for the whole
+    scan), and the padded shape flows through — zero per-layer layout ops.
     """
-    from .attention import split_qkv
+    padded_in = n_valid is not None
+    n = n_valid if padded_in else x.shape[1]
+    b, _, dmodel = x.shape
+    d = dmodel // num_heads
 
-    b, n, dmodel = x.shape
-    qkv = jnp.dot(x, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
-    if "bqkv" in params:
-        qkv = qkv + params["bqkv"].astype(x.dtype)
-    q, k, v = split_qkv(qkv, num_heads)
-    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
+    if not qkvflat_fits(n, num_heads, d):
+        # folded multi-block kernel path for sequence lengths whose score
+        # matrix exceeds the one-program VMEM budget
+        from .attention import split_qkv
+
+        xs = x[:, :n] if padded_in else x
+        qkv = jnp.dot(xs, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+        if "bqkv" in params:
+            qkv = qkv + params["bqkv"].astype(x.dtype)
+        q, k, v = split_qkv(qkv, num_heads)
+        out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
+        proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
+        proj = proj.astype(x.dtype)
+        if padded_in:
+            proj = jnp.pad(proj, ((0, 0), (0, x.shape[1] - n), (0, 0)))
+        return proj
+
+    np_ = _qkv_pad_rows(n)
+    wq, bq = _scaled_qkv_weights(params, num_heads)
+    xp = x if padded_in else jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
+    qkv = jnp.dot(xp, wq, preferred_element_type=jnp.float32)
+    if bq is not None:
+        qkv = qkv + bq
+    out = attention_qkv(qkv.astype(x.dtype), num_heads, n, interpret)  # (B, Np, hd)
+    if not padded_in:
+        out = out[:, :n]
     proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)
