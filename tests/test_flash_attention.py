@@ -250,7 +250,7 @@ def test_scan_blocks_padded_stream_equivalence(monkeypatch):
 
     want = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
 
-    def fake_mha_flash(xx, p, heads, *, n_valid=None, interpret=False):
+    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False, interpret=False):
         if n_valid is not None and n_valid != xx.shape[1]:
             out = att_mod.mha_fused(xx[:, :n_valid], p, heads)
             return jnp.pad(out, ((0, 0), (0, xx.shape[1] - n_valid), (0, 0)))
@@ -261,3 +261,30 @@ def test_scan_blocks_padded_stream_equivalence(monkeypatch):
     got = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_scan_blocks_train_routes_folded(monkeypatch):
+    """train=True must keep the stream unpadded and ask mha_flash for the
+    folded kernel (the padded-stream flat path taxes the dense bwd;
+    chip-measured, see vit._scan_blocks docstring)."""
+    import importlib
+
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    vit_mod = importlib.import_module("vit_ocm_wmsegmentation_tpu.models.vit")
+    att_mod = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.attention")
+
+    cfg = vit_mod.ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                            pretrain_img_size=32)
+    params = vit_mod.init(cfg, jax.random.PRNGKey(0))
+    x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (2, 17, 32)).astype(np.float32))
+    seen = []
+
+    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False, interpret=False):
+        seen.append((xx.shape[1], n_valid, prefer_folded))
+        return att_mod.mha_fused(xx, p, heads)
+
+    monkeypatch.setattr(fa, "mha_flash", fake_mha_flash)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth, train=True)
+    assert seen and all(rows == 17 and nv is None and folded
+                        for rows, nv, folded in seen)

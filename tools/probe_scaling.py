@@ -193,7 +193,8 @@ def mim_workload():
     from vit_ocm_wmsegmentation_tpu.train.optim import build_optimizer
     from vit_ocm_wmsegmentation_tpu.utils.config import default_config
 
-    vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=6,
+    # depth-4 / heads-3 matches the reference MIM model (model.py:96-97)
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
                         pretrain_img_size=224)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
     cfg = default_config()

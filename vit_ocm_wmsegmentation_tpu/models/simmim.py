@@ -43,7 +43,7 @@ def init(cfg: ViTConfig, key, dtype=jnp.float32):
     return params
 
 
-def encode(params, cfg: ViTConfig, x, mask, *, remat=False):
+def encode(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
     """VisionTransformerForSimMIM.forward (model.py:25-53).
 
     x: (B, H, W, 3) float; mask: (B, gh, gw) {0,1} token mask.
@@ -62,26 +62,27 @@ def encode(params, cfg: ViTConfig, x, mask, *, remat=False):
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     tok = tok + vit_mod.interpolate_pos_embed(params, cfg, (gh, gw)).astype(tok.dtype)
 
-    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto", remat=remat)  # flash on TPU (custom VJP), chunked on CPU
+    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto",
+                               remat=remat, train=train)  # flash on TPU (custom VJP), chunked on CPU
     tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
     return tok[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
 
 
-def reconstruct(params, cfg: ViTConfig, x, mask, *, remat=False):
+def reconstruct(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
     """Full MIM forward: encoder + PixelShuffle decoder -> (B, H, W, 3)."""
-    z = encode(params, cfg, x, mask, remat=remat)
+    z = encode(params, cfg, x, mask, remat=remat, train=train)
     rec = jnp.dot(z, params["decoder"]["kernel"], preferred_element_type=jnp.float32)
     rec = (rec + params["decoder"]["bias"].astype(jnp.float32)).astype(z.dtype)
     return nn.pixel_shuffle(rec, cfg.patch_size)
 
 
-def mim_loss(params, cfg: ViTConfig, x, mask, *, remat=False):
+def mim_loss(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
     """(loss, x_rec, pixel_mask): masked-L1 / mask area / 3 (model.py:71-77).
 
     remat rematerializes block activations in the backward pass
     (TRAIN.USE_CHECKPOINT, config.py:111) — FLOPs for HBM.
     """
-    x_rec = reconstruct(params, cfg, x, mask, remat=remat)
+    x_rec = reconstruct(params, cfg, x, mask, remat=remat, train=train)
     p = cfg.patch_size
     pix_mask = jnp.repeat(jnp.repeat(mask, p, axis=1), p, axis=2).astype(x.dtype)[..., None]
     l1 = jnp.abs(x - x_rec)

@@ -154,7 +154,8 @@ def prepare_tokens(params, cfg: ViTConfig, x):
     return tok + pos.astype(tok.dtype)
 
 
-def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None):
+def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
+                   prefer_folded=False):
     """One pre-norm transformer block (vision_transformer.py:94-114).
 
     impl: "auto" (Pallas flash on TPU, differentiable via the custom VJP in
@@ -168,7 +169,8 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None):
     """
     h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
     if impl == "auto":
-        y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid)
+        y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid,
+                         prefer_folded=prefer_folded)
     elif impl == "chunked":
         y = att.mha_fused(h, bp["attn"], cfg.num_heads)
     else:
@@ -181,13 +183,22 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None):
     return x + h
 
 
-def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto", remat=False):
+def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",
+                 remat=False, train=False):
     """Run blocks [lo, hi) under lax.scan over the stacked depth axis.
 
     On TPU with the flat flash kernel active, the token stream is padded to
     the kernel's row multiple ONCE here and sliced back after the scan, so
     no per-layer pad/slice/transpose touches HBM (ops/flash_attention.py
     "qkvflat" design). Contract unchanged: (B, N, D) in, (B, N, D) out.
+
+    train=True (the MIM/finetune loss paths) keeps the UNPADDED stream and
+    the folded multi-block kernel: measured on chip, padding the residual
+    stream to the flat kernel's 128-row multiple costs +14% on every dense
+    op in fwd AND bwd at 224² (n=785→896), more than the layout ops it
+    saves — the flat kernel is an inference win (n=2305: 152.7→116.2
+    ms/mosaic) and a training loss (52.7→63.1 ms/iter), so each path gets
+    its own route.
     """
     if hi <= lo:
         return x
@@ -196,6 +207,7 @@ def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto", re
     n = x.shape[1]
     pad_stream = (
         impl == "auto"
+        and not train
         and jax.default_backend() in ("tpu", "axon")
         and qkvflat_fits(n, cfg.num_heads, cfg.head_dim)
     )
@@ -208,7 +220,8 @@ def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto", re
     sliced = jax.tree.map(lambda a: a[lo:hi], params["blocks"])
 
     def body(carry, bp):
-        return _block_forward(bp, cfg, carry, impl=impl, n_valid=n_valid), None
+        return _block_forward(bp, cfg, carry, impl=impl, n_valid=n_valid,
+                              prefer_folded=train), None
 
     if remat:
         body = jax.checkpoint(body)

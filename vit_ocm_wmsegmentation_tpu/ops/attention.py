@@ -93,7 +93,7 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     return proj.astype(x.dtype)
 
 
-def mha_auto(x, params, num_heads, *, n_valid=None):
+def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
     """Backend dispatch: the Pallas flash kernel on TPU backends, the
     chunked XLA path elsewhere (CPU tests, autodiff).
 
@@ -103,7 +103,8 @@ def mha_auto(x, params, num_heads, *, n_valid=None):
     if jax.default_backend() in ("tpu", "axon"):
         from .flash_attention import mha_flash
 
-        return mha_flash(x, params, num_heads, n_valid=n_valid)
+        return mha_flash(x, params, num_heads, n_valid=n_valid,
+                         prefer_folded=prefer_folded)
     if n_valid is not None and n_valid != x.shape[1]:
         out = mha_fused(x[:, :n_valid], params, num_heads)
         return jnp.pad(out, ((0, 0), (0, x.shape[1] - n_valid), (0, 0)))

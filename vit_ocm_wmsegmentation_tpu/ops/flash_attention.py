@@ -477,7 +477,7 @@ def _scaled_qkv_weights(params, num_heads):
 
 
 def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
-              interpret: bool = False):
+              prefer_folded: bool = False, interpret: bool = False):
     """Full MHSA block using the Pallas kernel (drop-in for mha_fused).
 
     With ``n_valid=None`` (drop-in mode) x is (B, N, D); the function pads
@@ -485,13 +485,17 @@ def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
     ``n_valid=n`` x is an ALREADY padded residual stream of
     ``padded_rows(n)`` rows (vit._scan_blocks pads once for the whole
     scan), and the padded shape flows through — zero per-layer layout ops.
+
+    prefer_folded=True (training paths, vit._scan_blocks train=True) skips
+    the flat kernel: its row padding taxes the dense bwd more than the saved
+    layout ops are worth (chip-measured; see _scan_blocks docstring).
     """
     padded_in = n_valid is not None
     n = n_valid if padded_in else x.shape[1]
     b, _, dmodel = x.shape
     d = dmodel // num_heads
 
-    if not qkvflat_fits(n, num_heads, d):
+    if prefer_folded or not qkvflat_fits(n, num_heads, d):
         # folded multi-block kernel path for sequence lengths whose score
         # matrix exceeds the one-program VMEM budget
         from .attention import split_qkv

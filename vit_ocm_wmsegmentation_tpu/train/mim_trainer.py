@@ -49,7 +49,7 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
             params = jax.tree.map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
             x = x.astype(jnp.bfloat16)
-        loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask, remat=remat)
+        loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask, remat=remat, train=True)
         return loss
 
     def step(params, opt_state, x, mask):
