@@ -22,6 +22,7 @@ Usage: python tools/parity_fullscale.py   (~15 min: 49 torch CPU forwards)
 """
 
 import json
+import os
 import sys
 import time
 import types
@@ -106,7 +107,34 @@ def main():
     from vit_ocm_wmsegmentation_tpu.train.checkpoint import vit_params_to_torch
 
     cfg = vit.VIT_SMALL(patch_size=8)
-    params = vit.init(cfg, jax.random.PRNGKey(0))
+    if len(sys.argv) > 1 and sys.argv[1].startswith("--checkpoint"):
+        # trained-weights mode (VERDICT r2 #5): load a local MIM checkpoint
+        # through the reference's strict=False ritual (depth-4 encoder into
+        # depth-12 vit_small, model.py:91-109) so BOTH stacks see identical
+        # trained blocks 0-3 + the same random tail
+        import tempfile
+
+        import torch as _t
+
+        from vit_ocm_wmsegmentation_tpu.cli import load_model
+        from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+        from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt_mod
+        import orbax.checkpoint as ocp
+
+        ck = sys.argv[1].split("=", 1)[1] if "=" in sys.argv[1] else sys.argv[2]
+        with ocp.StandardCheckpointer() as ckptr:
+            restored = ckptr.restore(os.path.abspath(ck))
+        cfg4 = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
+                         pretrain_img_size=224)
+        enc = {k: v for k, v in restored["params"].items()
+               if k not in ("mask_token", "decoder")}
+        sd4 = ckpt_mod.vit_params_to_torch(enc, cfg4)
+        with tempfile.NamedTemporaryFile(suffix=".pth", delete=False) as f:
+            _t.save({"model": {k: _t.from_numpy(np.asarray(v)) for k, v in sd4.items()}}, f.name)
+            params, cfg, _src = load_model("vit_small", 8, f.name, "teacher")
+        print(f"trained-weights mode: {ck} (epoch {restored.get('epoch')})", flush=True)
+    else:
+        params = vit.init(cfg, jax.random.PRNGKey(0))
     model = ref_vits.vit_small(patch_size=8, num_classes=0)
     missing, unexpected = model.load_state_dict(
         {k: torch.from_numpy(v) for k, v in vit_params_to_torch(params, cfg).items()},

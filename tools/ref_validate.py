@@ -244,7 +244,20 @@ def run_reference_validate(model, args):
     import torch
 
     ref_eval, _ = import_reference_eval()
-    data_loader = ref_eval.build_eval_loader(args)
+    # numpy-2 compat shim for the reference's own code: data.py:292 computes
+    # `args.image_size // np.int8(np.sqrt(args.crop))`, and numpy>=2 refuses
+    # to cast a python int >127 to the scalar's dtype (OverflowError at any
+    # image_size>127). The int8 only ever holds sqrt(crop) in {1,2,4}, so
+    # widening it reproduces the numpy<2 result exactly. Scoped to the
+    # loader build and restored immediately.
+    import numpy as _np
+
+    _orig_int8 = _np.int8
+    _np.int8 = _np.int32
+    try:
+        data_loader = ref_eval.build_eval_loader(args)
+    finally:
+        _np.int8 = _orig_int8
     logger = logging.getLogger("ref_validate_null")
     logger.addHandler(logging.NullHandler())
     logger.propagate = False
