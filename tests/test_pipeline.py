@@ -181,3 +181,52 @@ def test_segment_mosaic_streamed_odd_size_pads():
     mask, attn = pl.segment_mosaic_streamed(params, CFG, img, window=48, stride=16)
     assert mask.shape == (100, 70) and attn.shape == (100, 70)
     assert set(np.unique(np.asarray(mask))) <= {0, 255}
+
+
+def test_streamed_threshold_matches_full():
+    """The gigapixel-bounded streamed threshold (fused normalize + chunked
+    hist + mask-only) is bit-equal to threshold_multiplicative's first mask."""
+    import numpy as np
+
+    from vit_ocm_wmsegmentation_tpu import pipeline as pl
+    from vit_ocm_wmsegmentation_tpu.ops import threshold as th
+
+    rng = np.random.default_rng(5)
+    img = jnp.asarray(rng.integers(0, 256, (96, 80), np.uint8))
+    attn = jnp.asarray(rng.normal(2.0, 1.3, (96, 80)).astype(np.float32))
+    want, _, _ = th.threshold_multiplicative(img, attn)
+    got = pl._threshold_mult_streamed(img, attn)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # constant canvas branch
+    const = jnp.full((96, 80), 3.25, jnp.float32)
+    want_c, _, _ = th.threshold_multiplicative(img, const)
+    got_c = pl._threshold_mult_streamed(img, const)
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+
+
+def test_histogram_chunked_matches_full():
+    import numpy as np
+
+    from vit_ocm_wmsegmentation_tpu.ops import threshold as th
+
+    rng = np.random.default_rng(7)
+    img = jnp.asarray(rng.integers(0, 256, (513, 77), np.uint8))
+    full = np.asarray(th.histogram_u8(img))
+    for chunk in (256, 1000, 39501, 1 << 24):
+        np.testing.assert_array_equal(
+            np.asarray(th.histogram_u8_chunked(img, chunk)), full)
+
+
+def test_histogram_pallas_interpret_matches_full():
+    """Pallas histogram kernel (interpret mode on CPU) == histogram_u8,
+    including the 255-padding correction on non-multiple sizes."""
+    import numpy as np
+
+    from vit_ocm_wmsegmentation_tpu.ops import threshold as th
+
+    rng = np.random.default_rng(9)
+    for shape in ((256, 128), (300, 200), (17, 13)):
+        img = jnp.asarray(rng.integers(0, 256, shape, np.uint8))
+        full = np.asarray(th.histogram_u8(img))
+        got = np.asarray(th.histogram_u8_pallas(img, block_rows=8, interpret=True))
+        np.testing.assert_array_equal(got, full)

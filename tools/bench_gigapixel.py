@@ -16,7 +16,11 @@ Usage: python tools/bench_gigapixel.py [--size 32768] [--preview 1]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import numpy as np
 
@@ -55,6 +59,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=32768)
     ap.add_argument("--preview", type=int, default=1)
+    ap.add_argument("--no_progress", action="store_true", help="single-dispatch fori_loop band sweep")
     args = ap.parse_args()
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
@@ -65,7 +70,12 @@ def main():
     params = pl.cast_params(vit.init(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
 
     t0 = time.time()
-    host = make_mosaic(size)
+    cache = f"/tmp/giga_mosaic_{size}.npy"
+    if os.path.exists(cache):
+        host = np.load(cache, mmap_mode="r")
+    else:
+        host = make_mosaic(size)
+        np.save(cache, host)
     t_gen = time.time() - t0
     print(f"synthesized {size}x{size} ({size * size / 1e9:.2f} GP) in {t_gen:.0f}s",
           flush=True)
@@ -86,7 +96,8 @@ def main():
 
     t0 = time.time()
     mask, attn = pl.segment_mosaic_streamed(
-        params, cfg, img_dev, window, stride, dtype=jnp.bfloat16, progress=progress)
+        params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
+        progress=None if args.no_progress else progress)
     # scalar sync: all chained band dispatches + threshold truly executed
     fg = float((mask > 0).astype(jnp.float32).mean())
     t_seg = time.time() - t0
@@ -109,8 +120,6 @@ def main():
     print(json.dumps(result), flush=True)
 
     if args.preview:
-        import os
-
         os.makedirs("/tmp/gigapixel", exist_ok=True)
         ds = size // 2048
         from PIL import Image

@@ -33,6 +33,82 @@ def histogram_u8(img_u8):
     return jnp.sum(one_hot, axis=0).astype(jnp.float32)
 
 
+def histogram_u8_pallas(img_u8, *, block_rows: int = 2048, interpret: bool = False):
+    """256-bin histogram as a Pallas TPU kernel, for gigapixel images.
+
+    Both XLA formulations are HBM-bound at scale: the one-hot form
+    materializes (Npix, 256) (OOM), and the chunked form still streams
+    ~256 bytes of one-hot per pixel through HBM (measured ~660 s for the
+    1.07 GP mosaic's threshold). Here each (block_rows, 128) block is
+    loaded into VMEM ONCE and the 256 per-bin compare+count passes run at
+    VPU rate out of VMEM; partial counts accumulate across the sequential
+    grid into one (256, 1) output (bit-identical integer counts).
+    """
+    import jax.experimental.pallas as pl_mod
+    from jax.experimental.pallas import tpu as pltpu_mod
+
+    flat = img_u8.reshape(-1)
+    n = flat.shape[0]
+    blk = block_rows * 128
+    nb = -(-n // blk)
+    # pad with 255 and subtract the pad count from the last bin afterwards
+    pad = nb * blk - n
+    if pad:
+        flat = jnp.pad(flat, (0, pad), constant_values=255)
+    x3 = flat.reshape(nb, block_rows, 128)
+
+    def kern(x_ref, o_ref):
+        first = pl_mod.program_id(0) == 0
+        x = x_ref[0].astype(jnp.int32)
+
+        def body(b, _):
+            c = jnp.sum((x == b).astype(jnp.float32)).reshape(1, 1)
+            o_ref[pl_mod.ds(b, 1), 0:1] = o_ref[pl_mod.ds(b, 1), 0:1] + c
+            return 0
+
+        @pl_mod.when(first)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        jax.lax.fori_loop(0, 256, body, 0)
+
+    hist = pl_mod.pallas_call(
+        kern,
+        grid=(nb,),
+        in_specs=[pl_mod.BlockSpec((1, block_rows, 128), lambda i: (i, 0, 0),
+                                   memory_space=pltpu_mod.VMEM)],
+        out_specs=pl_mod.BlockSpec((256, 1), lambda i: (0, 0),
+                                   memory_space=pltpu_mod.VMEM),
+        out_shape=jax.ShapeDtypeStruct((256, 1), jnp.float32),
+        compiler_params=pltpu_mod.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(x3)[:, 0]
+    if pad:
+        hist = hist - jnp.zeros((256,), jnp.float32).at[255].set(float(pad))
+    return hist
+
+
+def histogram_u8_chunked(img_u8, chunk_px: int = 1 << 24):
+    """histogram_u8 with bounded peak memory for gigapixel inputs.
+
+    The one-hot comparison above is (Npix, 256) before the reduction — at
+    1.07 GP that transient is what OOM'd the 32768² run even though the
+    output is 256 floats. Here the flat image is processed in ~16 M-pixel
+    chunks under lax.map (sequential, one chunk's one-hot live at a time)
+    and the integer counts summed — bit-identical to histogram_u8."""
+    flat = img_u8.reshape(-1)
+    n = flat.shape[0]
+    if n <= chunk_px:
+        return histogram_u8(flat)
+    nch = n // chunk_px
+    head = flat[: nch * chunk_px].reshape(nch, chunk_px)
+    hist = jnp.sum(jax.lax.map(histogram_u8, head), axis=0)
+    if n % chunk_px:
+        hist = hist + histogram_u8(flat[nch * chunk_px :])
+    return hist
+
+
 def otsu_from_hist(hist):
     """cv2 THRESH_OTSU: argmax over t of w1*w2*(mu1-mu2)^2, first max kept,
     classes with vanishing mass skipped (modules/imgproc/src/thresh.cpp)."""

@@ -196,11 +196,41 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"),
-         donate_argnums=(3,))
+@partial(jax.jit, donate_argnums=(3,),
+         static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
+def _band_sweep(params, cfg, img_dev, acc, ys_dev, wy_dev, window, stride,
+                median_size, dtype):
+    """All tile-row bands in one compiled graph: fori_loop over the band
+    index with the f32 canvas as the (donated) carry. Same numbers as the
+    per-band dispatch loop; zero per-band host/dispatch overhead (measured
+    ~0.9 ms/tile of relay queueing across 254 chained band dispatches)."""
+
+    def body(r, a):
+        return _band_update_impl(params, cfg, img_dev, a, ys_dev[r],
+                                 wy_dev[r], window, stride, median_size, dtype)
+
+    return jax.lax.fori_loop(0, ys_dev.shape[0], body, acc)
+
+
+@partial(jax.jit, donate_argnums=(3,),
+         static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
 def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride, median_size, dtype):
+    """One-band dispatch used by the progress-reporting python loop; see
+    _band_update_impl."""
+    return _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window,
+                             stride, median_size, dtype)
+
+
+def _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window, stride,
+                      median_size, dtype):
     """Process ONE row of tiles starting at mosaic row y0 and overlap-add its
     weighted attention strip into the (H, W) f32 accumulator (donated).
+
+    The donation is load-bearing at gigapixel scale: the caller enqueues
+    every band before syncing, and WITHOUT input-output aliasing each
+    pending dispatch preallocates its own (H, W) f32 canvas output —
+    254 × 4.3 GB at 32768² (observed RESOURCE_EXHAUSTED). With donation all
+    bands alias one canvas and the queue serializes on it.
 
     The horizontal stitch within the strip uses the same blend profiles as
     stitch_blended; the vertical profile for this tile row arrives as
@@ -219,7 +249,7 @@ def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride, median_s
 
 def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
                             median_size=1, dtype=jnp.float32, exact_stitch=False,
-                            progress=None):
+                            progress=None, single_dispatch=False):
     """Gigapixel-capable segment_mosaic: identical numbers, bounded memory.
 
     segment_mosaic materializes the full (T, window, window) per-tile
@@ -238,21 +268,61 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
     ys = st.tile_starts(padded.shape[0], window, stride)
     wy = st.blend_profiles_1d(len(ys), window, stride).astype(np.float32)
+    # upload the per-band scalars/profiles ONCE: a per-band jnp.asarray is a
+    # host->device transfer whose relay round-trip (~0.5 s here) dwarfs the
+    # 0.6 s band compute — 254 of them doubled the 1.07 GP wall clock
+    ys_dev = jnp.asarray(np.asarray(ys, np.int32))
+    wy_dev = jnp.asarray(wy)
     acc = jnp.zeros(padded.shape, jnp.float32)
-    for r, y0 in enumerate(ys):
-        acc = _band_update(params, cfg, padded, acc, jnp.int32(y0),
-                           jnp.asarray(wy[r]), window, stride, median_size, dtype)
-        if progress is not None:
-            progress(r + 1, len(ys))
+    if single_dispatch:
+        # whole band sweep as ONE dispatch (lax.fori_loop, acc as carry).
+        # Experimental: saves the residual ~0.6 ms/tile of relay queueing,
+        # but the 254-band graph crashed the TPU worker at 32768² on the
+        # current runtime — hence opt-in, default off.
+        acc = _band_sweep(params, cfg, padded, acc, ys_dev, wy_dev,
+                          window, stride, median_size, dtype)
+    else:
+        for r in range(len(ys)):
+            acc = _band_update(params, cfg, padded, acc, ys_dev[r],
+                               wy_dev[r], window, stride, median_size, dtype)
+            if progress is not None:
+                progress(r + 1, len(ys))
     attn = acc[:h, :w]
     timg = img_u8 if not exact_stitch else st.restitch_u8(padded, window, stride)[:h, :w]
-    mask, _, _ = _threshold_mult_jit(timg, attn)
+    mask = _threshold_mult_streamed(timg, attn)
     return mask, attn
 
 
 @jax.jit
 def _threshold_mult_jit(timg, attn):
     return th.threshold_multiplicative(timg, attn)
+
+
+@jax.jit
+def _threshold_mult_streamed(timg, attn):
+    """threshold_multiplicative's first mask only, with gigapixel-bounded
+    memory: the normalized-attention f32 canvas is fused into the single
+    uint8 `result` pass instead of materialized (4.3 GB at 1.07 GP), the
+    Otsu histogram runs chunked, and the th2/th3 masks the streamed caller
+    never returns are not computed. Numbers identical to
+    threshold_multiplicative(timg, attn)[0] (min-max then /max(attn)==1
+    exactly when the canvas is non-constant, sw_processing.py:37-81)."""
+    lo, hi = jnp.min(attn), jnp.max(attn)
+    norm = jnp.where(hi == lo, 1.0, 1.0 / (hi - lo))
+    shift = jnp.where(hi == lo, 0.0, lo)
+    # (attn - lo)/(hi - lo) has max exactly 1.0, so the reference's second
+    # /max(attn) divide is the identity; constant canvases keep raw values
+    # like min_max_normalize, then divide by max(|max|, eps) as the
+    # reference does
+    denom2 = jnp.where(hi == lo, jnp.maximum(hi, th._FLT_EPSILON), 1.0)
+    result = (timg.astype(jnp.float32) * ((attn - shift) * norm) / denom2
+              ).astype(jnp.uint8)
+    if jax.default_backend() in ("tpu", "axon"):
+        hist = th.histogram_u8_pallas(result)
+    else:
+        hist = th.histogram_u8_chunked(result)
+    t = th.otsu_from_hist(hist)
+    return (result.astype(jnp.float32) > t).astype(jnp.uint8) * jnp.uint8(255)
 
 
 @partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype",
