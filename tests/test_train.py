@@ -145,6 +145,38 @@ def test_amp_step_matches_fp32_and_keeps_f32_state():
     assert losses[-1] < losses[0]
 
 
+def test_mlp_remat_variants_match_stock_gradients():
+    """The training-path MLP remat modes (models/vit.py::MLP_REMAT) change
+    only WHERE gelu/LN are evaluated (recomputed inside the backward
+    matmuls), never the math: loss and every gradient leaf must match the
+    stock autodiff graph to f32 rounding."""
+    from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+
+    params = simmim.init(CFG, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 4, 4)) > 0.5).astype(np.int32))
+
+    def lossf(p):
+        return simmim.mim_loss(p, CFG, x, mask, train=True)[0]
+
+    saved = vit_mod.MLP_REMAT
+    outs = {}
+    try:
+        for mode in (None, "gelu", "gelu+ln"):
+            vit_mod.MLP_REMAT = mode
+            outs[mode] = jax.value_and_grad(lossf)(params)
+    finally:
+        vit_mod.MLP_REMAT = saved
+
+    l0, g0 = outs[None]
+    for mode in ("gelu", "gelu+ln"):
+        l, g = outs[mode]
+        assert float(l) == pytest.approx(float(l0), abs=1e-7)
+        for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(g0)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
 def test_gradient_accumulation_matches_big_batch():
     """ACCUMULATION_STEPS=4 over four batch-2 micro-steps == one batch-8 step
     (final params equal). Holds because the MIM loss is a masked mean and the

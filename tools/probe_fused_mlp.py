@@ -1,0 +1,100 @@
+"""Measure the MIM AMP step under the MLP remat variants (VERDICT r2 #6).
+
+The hypothesis (BENCH.md "MIM tail decomposition"): the 7.7 ms GELU cost is
+not VPU throughput but fusion structure — stock autodiff saves gelu(h1),
+whose backward use sites force standalone erf/exp fusions that nothing
+overlaps. Naming the gelu output un-saveable (models/vit.py::_mlp_forward)
+makes the backward recompute it from the saved h1 INSIDE the dW2 / dh1
+matmuls, where the VPU work rides under the MXU.
+
+Variants, all slope-fit (tools/probe_scaling.py methodology):
+
+  baseline : MLP_REMAT=None (stock autodiff, r3 measured 49.7 ms)
+  gelu     : drop gelu(h1) from the saved set
+  gelu+ln  : additionally drop ln2(x)
+
+Usage: python tools/probe_fused_mlp.py [variant ...]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
+from vit_ocm_wmsegmentation_tpu.models import simmim
+from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+from vit_ocm_wmsegmentation_tpu.train.mim_trainer import make_train_step
+from vit_ocm_wmsegmentation_tpu.train.optim import build_optimizer
+from vit_ocm_wmsegmentation_tpu.utils.config import default_config
+
+
+def fit(name, fn, x0_factory, ns):
+    x = x0_factory()
+    x = fn(x)
+    x = fn(x)
+    leaves = jax.tree.leaves(x)
+    float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:4]))
+    ts = []
+    for n in ns:
+        best = 1e9
+        for _ in range(2):
+            xx = x0_factory()
+            t0 = time.perf_counter()
+            for _ in range(n):
+                xx = fn(xx)
+            leaves = jax.tree.leaves(xx)
+            float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:4]))
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    A = np.vstack([ns, np.ones(len(ns))]).T
+    sl, ic = np.linalg.lstsq(A, np.asarray(ts), rcond=None)[0]
+    print(json.dumps({"workload": name, "slope_ms_per_iter": round(sl * 1e3, 3),
+                      "intercept_ms": round(ic * 1e3, 2)}), flush=True)
+    return sl
+
+
+def probe(variant):
+    vit_mod.MLP_REMAT = None if variant == "baseline" else variant
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
+                        pretrain_img_size=224)
+    params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
+    cfg = default_config()
+    tx = build_optimizer(cfg, params, lambda t: 1e-4)
+    opt_state = tx.init(params)
+    step = make_train_step(vit_cfg, tx, amp=True)
+
+    rng = np.random.default_rng(0)
+    g = 224 // 8
+    x = jnp.asarray(rng.random((60, 224, 224, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((60, g, g)) > 0.6).astype(np.int32))
+
+    def run(state):
+        p, o, loss, gn = step(state[0], state[1], x, mask)
+        return (p, o)
+
+    fresh = jax.jit(lambda s: jax.tree.map(
+        lambda a: a + 0 if jnp.issubdtype(a.dtype, jnp.inexact) else a, s))
+    state_keep = (params, opt_state)
+    fit(f"mim_step_{variant}", run, lambda: fresh(state_keep), [1, 2, 4, 8, 16])
+
+
+def main():
+    for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln"]:
+        probe(variant)
+
+
+if __name__ == "__main__":
+    main()

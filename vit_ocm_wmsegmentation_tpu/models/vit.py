@@ -33,6 +33,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .. import nn
 from ..ops import attention as att
@@ -154,8 +155,47 @@ def prepare_tokens(params, cfg: ViTConfig, x):
     return tok + pos.astype(tok.dtype)
 
 
+# Training-path MLP rematerialization mode (see _mlp_forward). Module-level
+# so perf probes can flip it without re-plumbing configs; the shipped
+# default is chosen by on-chip measurement (tools/probe_fused_mlp.py).
+MLP_REMAT = "gelu"
+
+
+def _mlp_forward(bp, cfg: ViTConfig, x, *, remat_mode=None):
+    """LN2 -> w1 -> GELU -> w2 residual branch of a block.
+
+    remat_mode controls which intermediates the backward pass may keep:
+
+    * None: stock autodiff. Saves ln2(x), h1, AND gelu(h1) per block — the
+      saved gelu output has two backward consumers (dW2 and the dh1 chain),
+      so XLA materializes standalone VPU-only erf/exp fusions that nothing
+      overlaps; measured 7.7 ms of the 49.7 ms MIM step (BENCH.md).
+    * "gelu": gelu(h1) is NOT saved; backward recomputes it from the saved
+      h1, which XLA fuses into the dW2 matmul (operand fusion) and the
+      dh1 = (dout @ W2^T) * gelu'(h1) product (output fusion) — the erf/exp
+      recompute rides the MXU instead of serializing after it.
+    * "gelu+ln": additionally drops ln2(x); backward recomputes the row
+      stats from x. Trades two more row-reduction passes for one less
+      (B, N, D) residual store+load.
+    """
+    h = nn.layer_norm(bp["norm2"], x, cfg.ln_eps)
+    if remat_mode:
+        h = checkpoint_name(h, "ln2_out")
+    h = nn.linear({"kernel": bp["mlp"]["w1"], "bias": bp["mlp"]["b1"]}, h)
+    g = nn.gelu(h)
+    if remat_mode:
+        g = checkpoint_name(g, "gelu_out")
+    return nn.linear({"kernel": bp["mlp"]["w2"], "bias": bp["mlp"]["b2"]}, g)
+
+
+_MLP_POLICIES = {
+    "gelu": ("gelu_out",),
+    "gelu+ln": ("gelu_out", "ln2_out"),
+}
+
+
 def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
-                   prefer_folded=False):
+                   prefer_folded=False, train=False):
     """One pre-norm transformer block (vision_transformer.py:94-114).
 
     impl: "auto" (Pallas flash on TPU, differentiable via the custom VJP in
@@ -166,6 +206,9 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     n_valid (impl="auto" only): x is a padded residual stream; the flash
     kernel masks the padded key columns, LN/MLP are row-local so the pad
     rows carry garbage-but-finite values that never touch valid rows.
+
+    train=True applies the measured-best MLP remat mode (MLP_REMAT) so the
+    backward pass recomputes the elementwise tail inside the matmuls.
     """
     h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
     if impl == "auto":
@@ -176,11 +219,15 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     else:
         y = att.mha(h, bp["attn"], cfg.num_heads)
     x = x + y
-    h = nn.layer_norm(bp["norm2"], x, cfg.ln_eps)
-    h = nn.linear({"kernel": bp["mlp"]["w1"], "bias": bp["mlp"]["b1"]}, h)
-    h = nn.gelu(h)
-    h = nn.linear({"kernel": bp["mlp"]["w2"], "bias": bp["mlp"]["b2"]}, h)
-    return x + h
+    mode = MLP_REMAT if train else None
+    if mode:
+        mlp = jax.checkpoint(
+            partial(_mlp_forward, bp, cfg, remat_mode=mode),
+            policy=jax.checkpoint_policies.save_anything_except_these_names(
+                *_MLP_POLICIES[mode]),
+        )
+        return x + mlp(x)
+    return x + _mlp_forward(bp, cfg, x)
 
 
 def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",
@@ -221,7 +268,7 @@ def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",
 
     def body(carry, bp):
         return _block_forward(bp, cfg, carry, impl=impl, n_valid=n_valid,
-                              prefer_folded=train), None
+                              prefer_folded=train, train=train), None
 
     if remat:
         body = jax.checkpoint(body)
