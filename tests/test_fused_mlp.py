@@ -1,0 +1,91 @@
+"""Fused residual+LN+MLP Pallas kernel (ops/fused_mlp.py) vs the stock
+XLA composition, in interpret mode on CPU (same technique as
+tests/test_flash_attention.py)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vit_ocm_wmsegmentation_tpu import nn
+from vit_ocm_wmsegmentation_tpu.models import simmim
+from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+from vit_ocm_wmsegmentation_tpu.ops.fused_mlp import fused_mlp_block
+
+
+def _mk(rng, R=100, D=64, H=256, dtype=np.float32):
+    x = jnp.asarray(rng.normal(0, 1, (R, D)).astype(dtype))
+    return (x,
+            jnp.asarray(rng.normal(1, 0.1, D).astype(dtype)),
+            jnp.asarray(rng.normal(0, 0.1, D).astype(dtype)),
+            jnp.asarray(rng.normal(0, 0.05, (D, H)).astype(dtype)),
+            jnp.asarray(rng.normal(0, 0.05, H).astype(dtype)),
+            jnp.asarray(rng.normal(0, 0.05, (H, D)).astype(dtype)),
+            jnp.asarray(rng.normal(0, 0.05, D).astype(dtype)))
+
+
+def _ref(x, scale, bias, w1, b1, w2, b2):
+    h = nn.layer_norm({"scale": scale, "bias": bias}, x, 1e-6)
+    h = nn.linear({"kernel": w1, "bias": b1}, h)
+    h = nn.gelu(h)
+    return x + nn.linear({"kernel": w2, "bias": b2}, h)
+
+
+def test_fused_mlp_forward_matches_xla():
+    args = _mk(np.random.default_rng(0))
+    out = fused_mlp_block(*args, 1e-6, 64, True)  # block 64 -> padding path
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(*args)),
+                               atol=2e-6)
+
+
+def test_fused_mlp_grads_match_xla():
+    args = _mk(np.random.default_rng(1))
+    gk = jax.grad(lambda a: jnp.sum(fused_mlp_block(*a, 1e-6, 64, True) ** 2))(args)
+    gr = jax.grad(lambda a: jnp.sum(_ref(*a) ** 2))(args)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4 * scale)
+
+
+def test_fused_mlp_bf16_grad_dtypes_and_closeness():
+    """AMP path: bf16 primals -> bf16 cotangents, values within bf16 ULP of
+    the stock bf16 graph (the kernel accumulates in f32 throughout)."""
+    args = tuple(a.astype(jnp.bfloat16) for a in _mk(np.random.default_rng(2)))
+    lk = lambda a: jnp.sum(fused_mlp_block(*a, 1e-6, 64, True).astype(jnp.float32) ** 2)
+    lr = lambda a: jnp.sum(_ref(*a).astype(jnp.float32) ** 2)
+    gk, gr = jax.grad(lk)(args), jax.grad(lr)(args)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        assert a.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.02 * scale)
+
+
+def test_mim_step_kernel_mode_matches_stock(monkeypatch):
+    """MLP_REMAT='kernel' through the whole MIM loss (scan over blocks,
+    custom VJP inside): loss and grads match stock autodiff."""
+    monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    pretrain_img_size=32)
+    params = simmim.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 4, 4)) > 0.5).astype(np.int32))
+
+    def lossf(p):
+        return simmim.mim_loss(p, cfg, x, mask, train=True)[0]
+
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    l0, g0 = jax.value_and_grad(lossf)(params)
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", "kernel")
+    l1, g1 = jax.value_and_grad(lossf)(params)
+
+    assert float(l1) == pytest.approx(float(l0), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * scale)

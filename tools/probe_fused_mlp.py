@@ -12,6 +12,7 @@ Variants, all slope-fit (tools/probe_scaling.py methodology):
   baseline : MLP_REMAT=None (stock autodiff, r3 measured 49.7 ms)
   gelu     : drop gelu(h1) from the saved set
   gelu+ln  : additionally drop ln2(x)
+  kernel   : Pallas fused residual+LN+MLP block, fwd+bwd (ops/fused_mlp.py)
 
 Usage: python tools/probe_fused_mlp.py [variant ...]
 """
@@ -92,7 +93,7 @@ def probe(variant):
 
 
 def main():
-    for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln"]:
+    for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel"]:
         probe(variant)
 
 

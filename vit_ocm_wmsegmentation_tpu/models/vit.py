@@ -158,7 +158,13 @@ def prepare_tokens(params, cfg: ViTConfig, x):
 # Training-path MLP rematerialization mode (see _mlp_forward). Module-level
 # so perf probes can flip it without re-plumbing configs; the shipped
 # default is chosen by on-chip measurement (tools/probe_fused_mlp.py).
+# "kernel" routes the whole LN+MLP residual branch through the Pallas
+# fused-block custom VJP (ops/fused_mlp.py) on TPU.
 MLP_REMAT = "gelu"
+
+# Tests only: run the fused MLP kernel in Pallas interpret mode on CPU so
+# the "kernel" path is exercised without a TPU (see tests/test_fused_mlp.py).
+FUSED_MLP_INTERPRET = False
 
 
 def _mlp_forward(bp, cfg: ViTConfig, x, *, remat_mode=None):
@@ -220,6 +226,20 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
         y = att.mha(h, bp["attn"], cfg.num_heads)
     x = x + y
     mode = MLP_REMAT if train else None
+    if mode == "kernel":
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        if on_tpu or FUSED_MLP_INTERPRET:
+            from ..ops.fused_mlp import DEFAULT_BLOCK_R, fused_mlp_block
+
+            b, n, d = x.shape
+            out = fused_mlp_block(
+                x.reshape(b * n, d),
+                bp["norm2"]["scale"], bp["norm2"]["bias"],
+                bp["mlp"]["w1"], bp["mlp"]["b1"],
+                bp["mlp"]["w2"], bp["mlp"]["b2"], cfg.ln_eps,
+                DEFAULT_BLOCK_R, not on_tpu)
+            return out.reshape(b, n, d)
+        mode = "gelu"  # CPU fallback: interpret mode is for tests only
     if mode:
         mlp = jax.checkpoint(
             partial(_mlp_forward, bp, cfg, remat_mode=mode),

@@ -1,0 +1,290 @@
+"""Pallas TPU fused residual+LN+MLP block (forward AND backward).
+
+Target: the MIM training tail (BENCH.md "MIM tail decomposition"). At
+224²/batch 60 the AMP step spends 7.7 ms in exact-erf GELU and 6.7 ms in
+LayerNorm — VPU passes that XLA schedules as standalone fusions in the
+BACKWARD pass (the forward-only ablation shows zero cost: XLA hides
+elementwise producers under the MXU in forward, but the saved-activation
+reuse sites in the backward break that fusion). This kernel computes
+
+    out = x + gelu(LN(x) @ W1 + b1) @ W2 + b2
+
+for one transformer block in one VMEM-resident pass per row chunk, with a
+matching backward kernel: the erf/exp/LN-reduction VPU work is emitted
+between the four backward dots of the SAME program, where Mosaic can
+overlap it with the MXU instead of serializing after it, and none of the
+(R, 4D) hidden intermediates (h1, gelu(h1), dh1, dxn) ever round-trips HBM.
+
+Saved residual: only h1 (pre-GELU, in the compute dtype) — gelu(h1) and
+gelu'(h1) are recomputed in-kernel from it (one erf + one exp, Φ shared).
+LayerNorm statistics are recomputed from x in the backward program (two
+row reductions over D, VPU work adjacent to MXU dots).
+
+Gradient accumulation: weight/bias/scale gradients accumulate across the
+sequential row-chunk grid axis into constant-index output blocks — the
+same proven pattern as flash_attention._attn_bwd_kernel (dk/dv). Zero
+cotangent rows (row padding) contribute exactly zero to every weight
+gradient, so padded rows need no masking; padded x rows produce finite
+garbage (LN of a constant row) that is sliced off.
+
+Replaces the torch Block.mlp autodiff path of the reference
+(/root/reference/Self-supervised_segmentation/dino/vision_transformer.py:94-114)
+on the TPU training route; models/vit.py dispatches via MLP_REMAT="kernel".
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+DEFAULT_BLOCK_R = 512
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _gelu_pieces(h1):
+    """(gelu(h1), gelu'(h1)) in f32, sharing the Φ term."""
+    phi = 0.5 * (1.0 + jax.lax.erf(h1 * _INV_SQRT2))
+    return h1 * phi, phi + h1 * (jnp.exp(-0.5 * h1 * h1) * _INV_SQRT2PI)
+
+
+def _mlp_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    o_ref, h1_ref, *, eps: float):
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xh = xc * jax.lax.rsqrt(var + eps)
+    xn = (xh * s_ref[...] + bb_ref[...]).astype(x_ref.dtype)
+    h1 = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    if h1_ref is not None:
+        h1_ref[...] = h1.astype(h1_ref.dtype)
+    g, _ = _gelu_pieces(h1)
+    g = g.astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        g, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    o_ref[...] = (x32 + y).astype(o_ref.dtype)
+
+
+def _mlp_bwd_kernel(x_ref, do_ref, h1_ref, s_ref, bb_ref, w1_ref, w2_ref,
+                    dx_ref, ds_ref, dbb_ref, dw1_ref, db1_ref, dw2_ref,
+                    db2_ref, *, eps: float):
+    """One row chunk of the backward. Recomputes LN stats and the GELU
+    factors; the VPU work sits between the four dots of the same program,
+    where the scheduler can overlap it with the MXU."""
+    i = pl.program_id(0)
+    x32 = x_ref[...].astype(jnp.float32)
+    do32 = do_ref[...].astype(jnp.float32)
+    h1 = h1_ref[...].astype(jnp.float32)
+
+    g32, gp = _gelu_pieces(h1)
+    g = g32.astype(x_ref.dtype)
+
+    # LN recompute (two row reductions over D; r kept for the backward)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    r = jax.lax.rsqrt(var + eps)
+    xh = xc * r
+    xn = (xh * s_ref[...] + bb_ref[...]).astype(x_ref.dtype)
+
+    do_b = do_ref[...]  # dy = dout (residual passthrough added at the end)
+    dg = jax.lax.dot_general(do_b, w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dh1 = (dg * gp).astype(x_ref.dtype)
+
+    dxn = jax.lax.dot_general(dh1, w1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+
+    # LN backward: dx = r*(dxh - mean(dxh) - xh*mean(dxh*xh)), dxh = dxn*scale
+    dxh = dxn * s_ref[...]
+    mu1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    mu2 = jnp.mean(dxh * xh, axis=-1, keepdims=True)
+    dx_ln = r * (dxh - mu1 - xh * mu2)
+    dx_ref[...] = (do32 + dx_ln).astype(dx_ref.dtype)
+
+    # parameter gradients, accumulated across the sequential grid axis
+    dw2_blk = jax.lax.dot_general(g, do_b, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    dw1_blk = jax.lax.dot_general(xn, dh1, (((0,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+    db2_blk = jnp.sum(do32, axis=0, keepdims=True)
+    db1_blk = jnp.sum(dh1.astype(jnp.float32), axis=0, keepdims=True)
+    ds_blk = jnp.sum(dxn * xh, axis=0, keepdims=True)
+    dbb_blk = jnp.sum(dxn, axis=0, keepdims=True)
+
+    @pl.when(i == 0)
+    def _():
+        dw1_ref[...] = dw1_blk
+        dw2_ref[...] = dw2_blk
+        db1_ref[...] = db1_blk
+        db2_ref[...] = db2_blk
+        ds_ref[...] = ds_blk
+        dbb_ref[...] = dbb_blk
+
+    @pl.when(i != 0)
+    def _():
+        dw1_ref[...] += dw1_blk
+        dw2_ref[...] += dw2_blk
+        db1_ref[...] += db1_blk
+        db2_ref[...] += db2_blk
+        ds_ref[...] += ds_blk
+        dbb_ref[...] += dbb_blk
+
+
+def _pad_rows(x, rp):
+    return jnp.pad(x, ((0, rp - x.shape[0]), (0, 0))) if x.shape[0] != rp else x
+
+
+def _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
+              want_h1):
+    rows, d = x.shape
+    hdim = w1.shape[1]
+    br = min(block_r, _round_up(rows, 16))
+    rp = _round_up(rows, br)
+    xp = _pad_rows(x, rp)
+    row2 = lambda a: a.reshape(1, -1).astype(jnp.float32)
+
+    grid = (rp // br,)
+    blk_x = pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((br, hdim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    out_specs = [blk_x]
+    out_shape = [jax.ShapeDtypeStruct((rp, d), x.dtype)]
+    if want_h1:
+        out_specs.append(blk_h)
+        out_shape.append(jax.ShapeDtypeStruct((rp, hdim), x.dtype))
+        kern = functools.partial(_mlp_fwd_kernel, eps=eps)
+    else:
+        kern = functools.partial(
+            lambda *refs, eps: _mlp_fwd_kernel(*refs, None, eps=eps), eps=eps)
+
+    res = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            blk_x,
+            rep((1, d)), rep((1, d)),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rep((1, hdim)),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rep((1, d)),
+        ],
+        out_specs=tuple(out_specs) if want_h1 else out_specs[0],
+        out_shape=tuple(out_shape) if want_h1 else out_shape[0],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * hdim,
+            bytes_accessed=(2 * rp * d + rp * hdim + 2 * d * hdim) * x.dtype.itemsize,
+            transcendentals=rp * hdim,
+        ),
+        interpret=interpret,
+    )(xp, row2(scale), row2(bias), w1, row2(b1), w2, row2(b2))
+    if want_h1:
+        return res[0][:rows], res[1]
+    return res[:rows]
+
+
+def _bwd_impl(x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret):
+    rows, d = x.shape
+    hdim = w1.shape[1]
+    br = min(block_r, _round_up(rows, 16))
+    rp = _round_up(rows, br)
+    xp = _pad_rows(x, rp)
+    dop = _pad_rows(do, rp)  # zero rows -> zero weight-grad contribution
+    row2 = lambda a: a.reshape(1, -1).astype(jnp.float32)
+
+    blk_x = pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk_h = pl.BlockSpec((br, hdim), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    dx, ds, dbb, dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_mlp_bwd_kernel, eps=eps),
+        grid=(rp // br,),
+        in_specs=[
+            blk_x, blk_x, blk_h,
+            rep((1, d)), rep((1, d)),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            blk_x,
+            rep((1, d)), rep((1, d)),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rep((1, hdim)),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rep((1, d)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((rp, d), x.dtype),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((1, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((hdim, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * rows * d * hdim,
+            bytes_accessed=(4 * rp * d + rp * hdim + 4 * d * hdim) * x.dtype.itemsize,
+            transcendentals=2 * rp * hdim,
+        ),
+        interpret=interpret,
+    )(xp, dop, h1p, row2(scale), row2(bias), w1, w2)
+    return dx[:rows], ds, dbb, dw1, db1, dw2, db2
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-6,
+                    block_r: int = DEFAULT_BLOCK_R, interpret: bool = False):
+    """x + gelu(LN(x; scale, bias) @ w1 + b1) @ w2 + b2, fused on TPU.
+
+    x: (R, D) row-major token stream (callers flatten (B, N, D));
+    w1: (D, H); w2: (H, D). Differentiable via a Pallas backward kernel.
+    Parameter gradients come back in f32 (matching the AMP master-grad
+    convention: the cast-to-bf16's VJP upcasts cotangents anyway).
+    """
+    return _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
+                     want_h1=False)
+
+
+def _fused_mlp_fwd(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret):
+    out, h1p = _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r,
+                         interpret, want_h1=True)
+    return out, (x, h1p, scale, bias, w1, w2)
+
+
+def _fused_mlp_bwd(eps, block_r, interpret, res, do):
+    x, h1p, scale, bias, w1, w2 = res
+    dx, ds, dbb, dw1, db1, dw2, db2 = _bwd_impl(
+        x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret)
+    cast = lambda g, ref: g.astype(ref.dtype)  # cotangent dtype == primal's
+    # biases share their weight's dtype (one params pytree, one AMP cast)
+    return (dx,
+            cast(ds[0], scale), cast(dbb[0], bias),
+            cast(dw1, w1), cast(db1[0], w1),
+            cast(dw2, w2), cast(db2[0], w2))
+
+
+fused_mlp_block.defvjp(_fused_mlp_fwd, _fused_mlp_bwd)
