@@ -65,6 +65,58 @@ def test_fused_mlp_bf16_grad_dtypes_and_closeness():
                                    atol=0.02 * scale)
 
 
+def test_ln_linear_forward_and_grads_match_xla():
+    from vit_ocm_wmsegmentation_tpu.ops.ln_linear import ln_linear
+
+    rng = np.random.default_rng(3)
+    R, D, K = 100, 64, 192
+    x = jnp.asarray(rng.normal(0, 1, (R, D)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(1, 0.1, D).astype(np.float32))
+    bias = jnp.asarray(rng.normal(0, 0.1, D).astype(np.float32))
+    w = jnp.asarray(rng.normal(0, 0.05, (D, K)).astype(np.float32))
+    b = jnp.asarray(rng.normal(0, 0.05, K).astype(np.float32))
+
+    def ref(x, scale, bias, w, b):
+        h = nn.layer_norm({"scale": scale, "bias": bias}, x, 1e-6)
+        return nn.linear({"kernel": w, "bias": b}, h)
+
+    args = (x, scale, bias, w, b)
+    out = ln_linear(*args, 1e-6, 64, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(*args)), atol=2e-6)
+
+    gk = jax.grad(lambda a: jnp.sum(ln_linear(*a, 1e-6, 64, True) ** 2))(args)
+    gr = jax.grad(lambda a: jnp.sum(ref(*a) ** 2))(args)
+    for a, b_ in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        s = float(jnp.max(jnp.abs(b_))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4 * s)
+
+
+def test_mim_step_lnqkv_mode_matches_stock(monkeypatch):
+    """LN_QKV='kernel' (LN1 fused into the qkv projection + flash attention
+    in interpret mode) through the whole MIM loss: loss/grads match stock."""
+    monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    pretrain_img_size=32)
+    params = simmim.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 4, 4)) > 0.5).astype(np.int32))
+
+    def lossf(p):
+        return simmim.mim_loss(p, cfg, x, mask, train=True)[0]
+
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    l0, g0 = jax.value_and_grad(lossf)(params)
+    monkeypatch.setattr(vit_mod, "LN_QKV", "kernel")
+    l1, g1 = jax.value_and_grad(lossf)(params)
+
+    assert float(l1) == pytest.approx(float(l0), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * scale)
+
+
 def test_mim_step_kernel_mode_matches_stock(monkeypatch):
     """MLP_REMAT='kernel' through the whole MIM loss (scan over blocks,
     custom VJP inside): loss and grads match stock autodiff."""

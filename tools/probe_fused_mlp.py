@@ -13,6 +13,8 @@ Variants, all slope-fit (tools/probe_scaling.py methodology):
   gelu     : drop gelu(h1) from the saved set
   gelu+ln  : additionally drop ln2(x)
   kernel   : Pallas fused residual+LN+MLP block, fwd+bwd (ops/fused_mlp.py)
+  *+lnqkv  : suffix: additionally fuse LN1 into the qkv projection
+             (ops/ln_linear.py via models/vit.LN_QKV)
 
 Usage: python tools/probe_fused_mlp.py [variant ...]
 """
@@ -68,7 +70,12 @@ def fit(name, fn, x0_factory, ns):
 
 
 def probe(variant):
-    vit_mod.MLP_REMAT = None if variant == "baseline" else variant
+    mode = variant
+    vit_mod.LN_QKV = None
+    if mode.endswith("+lnqkv"):
+        vit_mod.LN_QKV = "kernel"
+        mode = mode[: -len("+lnqkv")] or "baseline"
+    vit_mod.MLP_REMAT = None if mode == "baseline" else mode
     vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
                         pretrain_img_size=224)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
@@ -93,7 +100,8 @@ def probe(variant):
 
 
 def main():
-    for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel"]:
+    for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel",
+                                    "kernel+lnqkv"]:
         probe(variant)
 
 

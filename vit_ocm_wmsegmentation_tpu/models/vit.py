@@ -166,6 +166,40 @@ MLP_REMAT = "gelu"
 # the "kernel" path is exercised without a TPU (see tests/test_fused_mlp.py).
 FUSED_MLP_INTERPRET = False
 
+# Training-path pre-attention norm: "kernel" fuses LN1 into the qkv
+# projection (ops/ln_linear.py) so the LN backward reductions run between
+# the projection's backward dots. None = stock layer_norm + dot.
+LN_QKV = None
+
+
+def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
+    """Attention branch with LN1 fused into the qkv projection (train path).
+
+    Equivalent to mha_flash's folded route (ops/attention.mha_auto with
+    prefer_folded=True) preceded by nn.layer_norm — same flash kernel, same
+    out-projection — but the LN fwd+bwd lives inside the ln_linear custom
+    VJP instead of standalone XLA fusions.
+    """
+    from ..ops.attention import split_qkv
+    from ..ops.flash_attention import DEFAULT_BLOCK_Q, flash_attention_trainable
+    from ..ops.fused_mlp import DEFAULT_BLOCK_R
+    from ..ops.ln_linear import ln_linear
+
+    b, n, d = x.shape
+    wqkv = bp["attn"]["wqkv"]
+    bqkv = bp["attn"].get("bqkv")
+    if bqkv is None:
+        bqkv = jnp.zeros((wqkv.shape[1],), wqkv.dtype)
+    qkv = ln_linear(x.reshape(b * n, d), bp["norm1"]["scale"],
+                    bp["norm1"]["bias"], wqkv, bqkv, cfg.ln_eps,
+                    DEFAULT_BLOCK_R, interpret).reshape(b, n, 3 * d)
+    q, k, v = split_qkv(qkv, cfg.num_heads)
+    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    proj = jnp.dot(out, bp["attn"]["wo"], preferred_element_type=jnp.float32)
+    proj = proj + bp["attn"]["bo"].astype(jnp.float32)
+    return proj.astype(x.dtype)
+
 
 def _mlp_forward(bp, cfg: ViTConfig, x, *, remat_mode=None):
     """LN2 -> w1 -> GELU -> w2 residual branch of a block.
@@ -216,18 +250,22 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     train=True applies the measured-best MLP remat mode (MLP_REMAT) so the
     backward pass recomputes the elementwise tail inside the matmuls.
     """
-    h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
-    if impl == "auto":
-        y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid,
-                         prefer_folded=prefer_folded)
-    elif impl == "chunked":
-        y = att.mha_fused(h, bp["attn"], cfg.num_heads)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if (train and impl == "auto" and n_valid is None and LN_QKV == "kernel"
+            and (on_tpu or FUSED_MLP_INTERPRET)):
+        y = _ln_qkv_attention(bp, cfg, x, interpret=not on_tpu)
     else:
-        y = att.mha(h, bp["attn"], cfg.num_heads)
+        h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
+        if impl == "auto":
+            y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid,
+                             prefer_folded=prefer_folded)
+        elif impl == "chunked":
+            y = att.mha_fused(h, bp["attn"], cfg.num_heads)
+        else:
+            y = att.mha(h, bp["attn"], cfg.num_heads)
     x = x + y
     mode = MLP_REMAT if train else None
     if mode == "kernel":
-        on_tpu = jax.default_backend() in ("tpu", "axon")
         if on_tpu or FUSED_MLP_INTERPRET:
             from ..ops.fused_mlp import DEFAULT_BLOCK_R, fused_mlp_block
 
