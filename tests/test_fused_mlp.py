@@ -141,3 +141,14 @@ def test_mim_step_kernel_mode_matches_stock(monkeypatch):
         scale = float(jnp.max(jnp.abs(b))) + 1e-6
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4 * scale)
+
+    # under whole-block remat (TRAIN.USE_CHECKPOINT / the 384² recipe) the
+    # custom-VJP forward is recomputed inside the outer jax.checkpoint —
+    # gradients must be unchanged
+    def lossf_remat(p):
+        return simmim.mim_loss(p, cfg, x, mask, train=True, remat=True)[0]
+
+    l2, g2 = jax.value_and_grad(lossf_remat)(params)
+    assert float(l2) == pytest.approx(float(l1), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
