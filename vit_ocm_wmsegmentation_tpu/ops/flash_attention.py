@@ -181,11 +181,13 @@ def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, bias_ref,
     lse = lse_ref[0]  # (bq, 1) f32
 
     s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    p = jnp.exp(s + bias_ref[:] - lse).astype(v.dtype)  # (bq, Np) bf16, one pass
-
+    e = jnp.exp(s + bias_ref[:] - lse)  # (bq, Np) f32, one transcendental pass
+    p = e.astype(v.dtype)  # bf16 operand for the dv dot
     dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)  # (bq,1)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    ds = (p.astype(jnp.float32) * (dp - dcap)).astype(v.dtype)  # (bq, Np) bf16
+    # dS from the unrounded f32 exp (SSA reuse): skips the bf16->f32 upcast
+    # pass the old p-roundtrip form paid, and is strictly more accurate
+    ds = (e * (dp - dcap)).astype(v.dtype)  # (bq, Np) bf16
 
     dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     dq_ref[0] = dq.astype(dq_ref.dtype)
