@@ -27,6 +27,24 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     except Exception:
         pass
+
+    # The TPU relay occasionally drops for minutes (backend init raises
+    # UNAVAILABLE, and jax caches a failed init for the process lifetime).
+    # Probe in fresh subprocesses and only touch the in-process backend once
+    # a probe succeeds, so a transient outage doesn't fail the bench run.
+    import subprocess
+
+    probe = [sys.executable, "-c", "import jax; jax.devices()"]
+    for attempt in range(3):  # a failed init takes ~25 min to raise; bound it
+        r = subprocess.run(probe, capture_output=True, timeout=1800)
+        if r.returncode == 0:
+            break
+        if attempt == 2:
+            sys.stderr.write(r.stderr.decode()[-2000:])
+            raise RuntimeError("TPU backend unavailable after 3 probes")
+        print(f"backend probe {attempt + 1} failed; retrying in 60s",
+              file=sys.stderr, flush=True)
+        time.sleep(60)
     import jax.numpy as jnp
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl

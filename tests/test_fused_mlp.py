@@ -91,6 +91,27 @@ def test_ln_linear_forward_and_grads_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-4 * s)
 
 
+def test_set_train_kernel_modes_config_knob(monkeypatch):
+    """cfg.TRAIN.MLP_REMAT / LN_QKV select the module routes; 'auto' keeps
+    the shipped defaults; bad values raise."""
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", "gelu")
+    monkeypatch.setattr(vit_mod, "LN_QKV", None)
+
+    assert vit_mod.set_train_kernel_modes("auto", "auto") == ("gelu", None)
+    assert vit_mod.set_train_kernel_modes("kernel", "kernel") == ("kernel", "kernel")
+    assert vit_mod.set_train_kernel_modes("none", "none") == (None, None)
+    assert vit_mod.set_train_kernel_modes("gelu+ln", "auto") == ("gelu+ln", None)
+    with pytest.raises(ValueError):
+        vit_mod.set_train_kernel_modes("bogus", "auto")
+    with pytest.raises(ValueError):
+        vit_mod.set_train_kernel_modes("auto", "gelu")
+
+    from vit_ocm_wmsegmentation_tpu.utils.config import default_config
+
+    cfg = default_config()
+    assert cfg.TRAIN.MLP_REMAT == "auto" and cfg.TRAIN.LN_QKV == "auto"
+
+
 def test_mim_step_lnqkv_mode_matches_stock(monkeypatch):
     """LN_QKV='kernel' (LN1 fused into the qkv projection + flash attention
     in interpret mode) through the whole MIM loss: loss/grads match stock."""

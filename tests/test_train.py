@@ -231,11 +231,17 @@ def test_train_mim_end_to_end(tmp_path):
         arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
         Image.fromarray(arr).save(img_dir / f"im{i}.jpg")
     cfg = _tiny_cfg(tmp_path)
+    # cfg.TRAIN.MLP_REMAT / LN_QKV must flow through train_mim into the
+    # models.vit module routes (set_train_kernel_modes)
+    cfg.TRAIN.MLP_REMAT = "gelu+ln"
+    cfg.TRAIN.LN_QKV = "none"
     # shrink the model via monkeypatching the MIM config (full ViT-S is too
     # slow for a CPU unit test)
     import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+    import vit_ocm_wmsegmentation_tpu.models.vit as vit_mod
 
     orig = simmim_mod.mim_vit_config
+    saved_routes = (vit_mod.MLP_REMAT, vit_mod.LN_QKV)
     simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
         patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
     )
@@ -243,8 +249,10 @@ def test_train_mim_end_to_end(tmp_path):
         loader = build_simmim_loader(str(img_dir), batch_size=2, img_size=32,
                                      mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
         params, history = train_mim(cfg, loader, eval_fn=None)
+        assert (vit_mod.MLP_REMAT, vit_mod.LN_QKV) == ("gelu+ln", None)
     finally:
         simmim_mod.mim_vit_config = orig
+        vit_mod.MLP_REMAT, vit_mod.LN_QKV = saved_routes
     assert len(history) == 2
     assert np.isfinite(history).all()
     # checkpoint written at final epoch

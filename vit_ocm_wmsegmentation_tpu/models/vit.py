@@ -171,6 +171,31 @@ FUSED_MLP_INTERPRET = False
 # the projection's backward dots. None = stock layer_norm + dot.
 LN_QKV = None
 
+_MLP_REMAT_CHOICES = ("auto", "none", "gelu", "gelu+ln", "kernel")
+_LN_QKV_CHOICES = ("auto", "none", "kernel")
+
+
+def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto"):
+    """Select the training-path kernel routes from config strings.
+
+    Maps cfg.TRAIN.MLP_REMAT / cfg.TRAIN.LN_QKV onto the module globals:
+    "auto" keeps the measured-best shipped default, "none" disables the
+    route, any other value names a mode explicitly ("gelu", "gelu+ln",
+    "kernel" for the MLP branch; "kernel" for the pre-attention norm).
+    Returns the effective (MLP_REMAT, LN_QKV) pair so callers can log it.
+    """
+    global MLP_REMAT, LN_QKV
+    if mlp_remat not in _MLP_REMAT_CHOICES:
+        raise ValueError(
+            f"TRAIN.MLP_REMAT={mlp_remat!r} not in {_MLP_REMAT_CHOICES}")
+    if ln_qkv not in _LN_QKV_CHOICES:
+        raise ValueError(f"TRAIN.LN_QKV={ln_qkv!r} not in {_LN_QKV_CHOICES}")
+    if mlp_remat != "auto":
+        MLP_REMAT = None if mlp_remat == "none" else mlp_remat
+    if ln_qkv != "auto":
+        LN_QKV = None if ln_qkv == "none" else ln_qkv
+    return MLP_REMAT, LN_QKV
+
 
 def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
     """Attention branch with LN1 fused into the qkv projection (train path).

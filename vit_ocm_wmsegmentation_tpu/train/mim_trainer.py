@@ -85,6 +85,12 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     if wandb is None:
         wandb, use_wandb = get_wandb(use_wandb or cfg.WANDB, output_dir=cfg.OUTPUT)
 
+    from ..models import vit as vit_mod
+
+    eff = vit_mod.set_train_kernel_modes(
+        cfg.TRAIN.get("MLP_REMAT", "auto"), cfg.TRAIN.get("LN_QKV", "auto"))
+    logger.info(f"train kernel routes: MLP_REMAT={eff[0]} LN_QKV={eff[1]}")
+
     vit_cfg = simmim.mim_vit_config(cfg.DATA.IMG_SIZE, cfg.MODEL.PATCH_SIZE)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))
     if cfg.PRETRAINED_WEIGHTS:

@@ -146,6 +146,11 @@ def default_config() -> CfgNode:
                 "AUTO_RESUME": True,
                 "ACCUMULATION_STEPS": 0,
                 "USE_CHECKPOINT": False,
+                # TPU training-path kernel routes (net-new knobs, no
+                # reference counterpart): see models/vit.py
+                # set_train_kernel_modes. "auto" = measured-best default.
+                "MLP_REMAT": "auto",
+                "LN_QKV": "auto",
                 "LR_SCHEDULER": {
                     "NAME": "cosine",
                     "DECAY_EPOCHS": 30,
