@@ -30,11 +30,17 @@ def finetune_vit_config(img_size: int, patch_size: int = 8) -> ViTConfig:
                      pretrain_img_size=img_size)
 
 
-def encode(params, cfg: ViTConfig, x):
-    """VisionTransformerForFinetune.forward (model.py:121-139): token grid."""
+def encode(params, cfg: ViTConfig, x, *, train: bool = False):
+    """VisionTransformerForFinetune.forward (model.py:121-139): token grid.
+
+    train=True routes the blocks through the training path (unpadded stream,
+    folded kernel, MLP remat modes — see models/vit._scan_blocks): the
+    gradient pass through the padded inference route measured +14% on every
+    dense op at 224² (BENCH.md), so finetuning takes the training route."""
     b, h, w, _ = x.shape
     tok = vit_mod.prepare_tokens(params, cfg, x)
-    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto")  # flash kernel on TPU (custom VJP), chunked on CPU
+    tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto",
+                               train=train)  # flash kernel on TPU (custom VJP), chunked on CPU
     tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     return tok[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
@@ -78,7 +84,7 @@ def apply(params, cfg: ViTConfig, x, *, layer_num: int = 1, train: bool = False)
 
     Returns (logits (B, H, W, 1), new_state).
     """
-    z = encode(params["encoder"], cfg, x)
+    z = encode(params["encoder"], cfg, x, train=train)
     return decode(params["decoder"], params.get("state", {}), cfg, z, layer_num=layer_num, train=train)
 
 
