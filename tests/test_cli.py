@@ -36,6 +36,25 @@ def test_cli_help(script):
     assert "usage" in r.stdout.lower() or "usage" in r.stderr.lower()
 
 
+def test_cli_env_cpu_request_honored():
+    """Regression: an explicit JAX_PLATFORMS=cpu in a fresh subprocess must
+    win over the TPU-relay sitecustomize (which calls
+    jax.config.update("jax_platforms", "axon,cpu") at interpreter startup,
+    clobbering the env var). Without the package-level re-assert
+    (vit_ocm_wmsegmentation_tpu/__init__.py) every CLI subprocess first
+    initializes the axon backend — a ~25-min blocking hang whenever the
+    relay is unreachable. The 60 s timeout is the assertion: CPU-only
+    startup takes <2 s."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import vit_ocm_wmsegmentation_tpu, jax; print(jax.default_backend())"],
+        capture_output=True, text=True, timeout=60, env=env, cwd=ROOT,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert r.stdout.strip().splitlines()[-1] == "cpu"
+
+
 def test_mim_crop_eval_wiring(tmp_path, monkeypatch):
     """Regression: mim.py with --crop 4 + eval_dataset_path must build eval
     samples with the crop grid (crop>1 validate needs sample.crop_image);

@@ -13,6 +13,22 @@ fused into jitted XLA graphs, tile batches sharded over a `jax.sharding.Mesh`.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # The TPU-relay sitecustomize calls jax.config.update("jax_platforms",
+    # "axon,cpu") at interpreter startup, clobbering an explicit
+    # JAX_PLATFORMS=cpu from the environment. That made every fresh
+    # subprocess (CLI --help smoke tests, tools run with the env var) try to
+    # initialize the axon backend first — a ~25-min blocking hang whenever
+    # the relay is unreachable. Re-assert the caller's explicit CPU request
+    # here, before any backend is initialized; no-op when the relay is the
+    # intended target (JAX_PLATFORMS is then "axon" or unset).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+    del _jax
+
 _SUBMODULES = (
     "nn",
     "pipeline",
