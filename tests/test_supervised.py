@@ -51,6 +51,18 @@ def test_segloader_device_resident_matches_host(seg_dataset):
         np.testing.assert_array_equal(hx, np.asarray(dx))
 
 
+def test_segloader_empty_split_yields_nothing():
+    """Regression: a dataset smaller than the reference's hard-coded splits
+    (finetune.py train 0:50 / val 50:70) produces EMPTY val/test loaders;
+    device_resident epoch() used to crash unpacking the never-built device
+    stack instead of yielding nothing (train_supervised's empty-val fallback
+    never got the chance to run)."""
+    for dev in (True, False):
+        loader = sup.SegLoader([], [], 32, 2, device_resident=dev)
+        assert len(loader) == 0
+        assert list(loader.epoch(0)) == []
+
+
 def test_plateau_scheduler():
     s = sup.ReduceLROnPlateau(1e-3, patience=2, factor=0.1)
     for v in [1.0, 0.9, 0.95, 0.96]:  # 2 bad epochs -> no drop yet

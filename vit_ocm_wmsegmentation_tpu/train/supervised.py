@@ -107,6 +107,11 @@ class SegLoader:
         self._dev = (jnp.asarray(xs), jnp.asarray(ys) if ys is not None else None)
 
     def epoch(self, epoch=0):
+        if not self.images:
+            # empty split (tiny dataset): yield nothing — train_supervised
+            # expects an empty iterator (it falls back to the train loss),
+            # but device_resident would crash unpacking the None stack
+            return
         order = np.arange(len(self.images))
         if self.shuffle:
             order = np.random.default_rng((self.seed, epoch)).permutation(order)
@@ -339,6 +344,9 @@ def test_supervised(apply_fn, params, state, test_x, test_y, image_size, results
         )
         Image.fromarray(trip).save(os.path.join(results_dir, f"{name}.png"))
     avg = totals / max(n, 1)
+    if n == 0:
+        logger("WARNING: test split is empty (dataset smaller than the "
+               "reference's hard-coded train/val split); metrics below are 0")
     logger(f"Jaccard: {avg[0]:1.4f} - F1: {avg[1]:1.4f} - Recall: {avg[2]:1.4f} - "
            f"Precision: {avg[3]:1.4f} - Acc: {avg[4]:1.4f} - ROC-AUC : {avg[5]:1.4f}")
     return avg, total_loss / max(n, 1)
