@@ -20,8 +20,13 @@ def parse_args():
 def main():
     args = parse_args()
     os.makedirs(args.output_dir, exist_ok=True)
-    paths = sorted(p for p in glob(os.path.join(args.image_path, "*"))
-                   if p.lower().endswith((".jpg", ".png")))
+    if os.path.isfile(args.image_path):  # convenience over the reference:
+        paths = [args.image_path]        # a single file tiles that file
+    else:
+        paths = sorted(p for p in glob(os.path.join(args.image_path, "*"))
+                       if p.lower().endswith((".jpg", ".png")))
+        if not paths:
+            raise SystemExit(f"no .jpg/.png images found in {args.image_path}")
     count = 0
     for path in paths:
         img = Image.open(path)

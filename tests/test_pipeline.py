@@ -132,6 +132,23 @@ def test_pad_mosaic_odd_sizes():
     assert np.isfinite(np.asarray(attn)).all()
 
 
+def test_invalid_window_geometry_raises_clearly():
+    """Regression: stride > window (e.g. --window_size 64 with the default
+    --stride 128) used to surface as a numpy linspace error from inside the
+    blend-profile builder; window % stride != 0 as an overlap_add assert.
+    Both must raise a ValueError naming the parameters, from every public
+    mosaic entry point."""
+    import pytest
+
+    params = _params()
+    img = jnp.asarray(_mosaic(2))
+    for fn in (pl.segment_mosaic, pl.segment_mosaic_streamed, pl.attention_mosaic):
+        with pytest.raises(ValueError, match="stride .* window"):
+            fn(params, CFG, img, window=48, stride=96)
+    with pytest.raises(ValueError, match="multiple of stride"):
+        pl.segment_mosaic(params, CFG, img, window=48, stride=20)
+
+
 def test_segment_mosaic_exact_stitch_matches_reference_chain():
     """exact_stitch=True end-to-end == the reference flow with its uint8
     re-stitched image (sw_processing.py:224-229 -> threshold :44-62):

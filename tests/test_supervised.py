@@ -63,6 +63,18 @@ def test_segloader_empty_split_yields_nothing():
         assert list(loader.epoch(0)) == []
 
 
+def test_train_supervised_empty_train_split_errors(tmp_path):
+    """An empty TRAIN set must raise, not train 0 batches into nan losses
+    and save a garbage checkpoint (seen with a mistyped --image_path)."""
+    import pytest
+
+    loader = sup.SegLoader([], [], 32, 2)
+    with pytest.raises(ValueError, match="train split is empty"):
+        sup.train_supervised(lambda p, s, x, train: (x, s), {}, {}, loader,
+                             loader, epochs=1, lr=1e-3,
+                             checkpoint_path=str(tmp_path / "ckpt"))
+
+
 def test_plateau_scheduler():
     s = sup.ReduceLROnPlateau(1e-3, patience=2, factor=0.1)
     for v in [1.0, 0.9, 0.95, 0.96]:  # 2 bad epochs -> no drop yet

@@ -118,6 +118,23 @@ def segment_single(params, cfg, img_u8, method="ours", median_size=1):
 # ---------------------------------------------------------------------------
 
 
+def validate_window_geometry(window: int, stride: int) -> None:
+    """Reject sliding-window geometries the blend math can't represent,
+    with a message naming the flags (a bad --window_size/--stride pair used
+    to surface as a numpy linspace error from deep inside the stitch).
+    stride > window would leave unscanned gaps between tiles; the ramp
+    overlap-add additionally needs window % stride == 0 (the reference's
+    own geometry: 384/128)."""
+    if stride <= 0 or stride > window:
+        raise ValueError(
+            f"stride ({stride}) must be in [1, window ({window})]: "
+            f"stride > window leaves gaps between tiles")
+    if window % stride != 0:
+        raise ValueError(
+            f"window ({window}) must be a multiple of stride ({stride}) "
+            f"for the blended overlap-add stitch (reference geometry)")
+
+
 def pad_mosaic(img_u8, window, stride):
     """Edge-pad (H, W) up to the next size the window/stride geometry tiles
     exactly: size = window + k*stride. The reference assumes exact fit and
@@ -175,6 +192,7 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     One fused graph: batched gather -> vmapped ViT (CLS-row attention) ->
     per-tile normalize/smooth -> ramp-blended overlap-add stitch.
     """
+    validate_window_geometry(window, stride)
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
     tiles = mosaic_tiles(padded, window, stride)
     t = tiles.shape[0]
@@ -264,6 +282,7 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
     Returns (mask_u8 (H, W) {0,255} device array, attention (H, W) f32
     device array).
     """
+    validate_window_geometry(window, stride)
     img_u8 = jnp.asarray(img_u8)
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
     ys = st.tile_starts(padded.shape[0], window, stride)

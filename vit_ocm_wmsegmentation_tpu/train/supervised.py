@@ -257,6 +257,13 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
                      checkpoint_path, pseudo_label_fn=None, logger=print):
     """The fully_train loop. pseudo_label_fn(x)->y turns unlabeled batches
     into (x, y) (the PGT mode). Returns (params, state, train_losses, valid_losses)."""
+    if len(train_loader) == 0:
+        # train on nothing -> nan losses and a garbage "best" checkpoint;
+        # fail loudly instead (usually a wrong --image_path root: the CLIs
+        # expect a folder CONTAINING images/, not the images/ folder itself)
+        raise ValueError(
+            "train split is empty — no images found (is --image_path the "
+            "dataset root containing images/?)")
     tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
     opt_state = tx.init(params)
     train_step, eval_step = make_seg_step(apply_fn, tx)
