@@ -101,7 +101,7 @@ def probe(variant):
 
 def main():
     for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel",
-                                    "kernel+lnqkv"]:
+                                    "kernel+lnqkv", "gelu+lnqkv"]:
         probe(variant)
 
 
