@@ -159,8 +159,10 @@ def prepare_tokens(params, cfg: ViTConfig, x):
 # so perf probes can flip it without re-plumbing configs; the shipped
 # default is chosen by on-chip measurement (tools/probe_fused_mlp.py).
 # "kernel" routes the whole LN+MLP residual branch through the Pallas
-# fused-block custom VJP (ops/fused_mlp.py) on TPU.
-MLP_REMAT = "gelu"
+# fused-block custom VJP (ops/fused_mlp.py) on TPU. None = the measured
+# 49.7 ms/iter baseline (BENCH.md); the remat/kernel modes stay opt-in
+# until the on-chip probe (blocked by the r3 relay outage) picks a winner.
+MLP_REMAT = None
 
 # Tests only: run the fused MLP kernel in Pallas interpret mode on CPU so
 # the "kernel" path is exercised without a TPU (see tests/test_fused_mlp.py).
