@@ -277,10 +277,25 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     train=True applies the measured-best MLP remat mode (MLP_REMAT) so the
     backward pass recomputes the elementwise tail inside the matmuls.
     """
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import dp_shardable, kernel_mesh
+
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    mesh = kernel_mesh()
+    dp_spec = P("data", None, None)
     if (train and impl == "auto" and n_valid is None and LN_QKV == "kernel"
             and (on_tpu or FUSED_MLP_INTERPRET)):
-        y = _ln_qkv_attention(bp, cfg, x, interpret=not on_tpu)
+        if dp_shardable(mesh, x.shape[0]):
+            # shard_map island: GSPMD can't partition the Mosaic custom
+            # call; per shard this is the single-device kernel (mesh.py)
+            y = jax.shard_map(
+                lambda xx, pp: _ln_qkv_attention(pp, cfg, xx,
+                                                 interpret=not on_tpu),
+                mesh=mesh, in_specs=(dp_spec, P()), out_specs=dp_spec,
+                check_vma=False)(x, bp)
+        else:
+            y = _ln_qkv_attention(bp, cfg, x, interpret=not on_tpu)
     else:
         h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
         if impl == "auto":
@@ -297,13 +312,22 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
             from ..ops.fused_mlp import DEFAULT_BLOCK_R, fused_mlp_block
 
             b, n, d = x.shape
-            out = fused_mlp_block(
-                x.reshape(b * n, d),
-                bp["norm2"]["scale"], bp["norm2"]["bias"],
-                bp["mlp"]["w1"], bp["mlp"]["b1"],
-                bp["mlp"]["w2"], bp["mlp"]["b2"], cfg.ln_eps,
-                DEFAULT_BLOCK_R, not on_tpu)
-            return out.reshape(b, n, d)
+
+            def _mlp_kernel_call(xx, sc, bb, w1, b1, w2, b2):
+                out = fused_mlp_block(xx.reshape(-1, d), sc, bb, w1, b1,
+                                      w2, b2, cfg.ln_eps, DEFAULT_BLOCK_R,
+                                      not on_tpu)
+                return out.reshape(xx.shape)
+
+            args = (x, bp["norm2"]["scale"], bp["norm2"]["bias"],
+                    bp["mlp"]["w1"], bp["mlp"]["b1"],
+                    bp["mlp"]["w2"], bp["mlp"]["b2"])
+            if dp_shardable(mesh, b):
+                return jax.shard_map(
+                    _mlp_kernel_call, mesh=mesh,
+                    in_specs=(dp_spec,) + (P(),) * 6, out_specs=dp_spec,
+                    check_vma=False)(*args)
+            return _mlp_kernel_call(*args)
         mode = "gelu"  # CPU fallback: interpret mode is for tests only
     if mode:
         mlp = jax.checkpoint(

@@ -93,18 +93,43 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     return proj.astype(x.dtype)
 
 
+# Tests only: let mha_auto take the shard_map kernel route on CPU with the
+# Pallas kernels in interpret mode, so the exact multi-chip dp dispatch is
+# exercised on the virtual-device mesh (tests/test_parallel.py).
+DP_KERNEL_INTERPRET = False
+
+
 def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
     """Backend dispatch: the Pallas flash kernel on TPU backends, the
     chunked XLA path elsewhere (CPU tests, autodiff).
 
+    With a kernel mesh active (parallel.mesh.set_kernel_mesh — the
+    multi-chip training/inference paths), a pure-dp mesh wraps the kernel
+    in a jax.shard_map island over 'data' (mha_flash_dp: GSPMD cannot
+    partition a Mosaic custom call). tp>1 keeps the chunked XLA attention,
+    which GSPMD partitions along the Megatron head rules — documented
+    delta: the Pallas kernel is dp/single-device; tensor parallelism rides
+    the XLA path.
+
     n_valid marks x as a padded residual stream (flash_attention.mha_flash);
     the CPU fallback slices to the valid rows and pads the result back.
     """
-    if jax.default_backend() in ("tpu", "axon"):
-        from .flash_attention import mha_flash
+    from ..parallel.mesh import dp_shardable, kernel_mesh
 
-        return mha_flash(x, params, num_heads, n_valid=n_valid,
-                         prefer_folded=prefer_folded)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    mesh = kernel_mesh()
+    if on_tpu or (DP_KERNEL_INTERPRET and mesh is not None):
+        from .flash_attention import mha_flash, mha_flash_dp
+
+        if dp_shardable(mesh, x.shape[0]):
+            return mha_flash_dp(x, params, num_heads, mesh, n_valid=n_valid,
+                                prefer_folded=prefer_folded,
+                                interpret=not on_tpu)
+        multi = mesh is not None and mesh.size > 1
+        if on_tpu and not multi:
+            return mha_flash(x, params, num_heads, n_valid=n_valid,
+                             prefer_folded=prefer_folded)
+        # tp>1 (or an indivisible batch): GSPMD-partitionable XLA path below
     if n_valid is not None and n_valid != x.shape[1]:
         out = mha_fused(x[:, :n_valid], params, num_heads)
         return jnp.pad(out, ((0, 0), (0, x.shape[1] - n_valid), (0, 0)))

@@ -526,3 +526,28 @@ def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
         out = out[:, :n]
     proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)
+
+
+def mha_flash_dp(x, params, num_heads, mesh, *, n_valid: int | None = None,
+                 prefer_folded: bool = False, interpret: bool = False):
+    """mha_flash shard_mapped over the mesh's 'data' (batch) axis.
+
+    pallas_call lowers to a Mosaic custom call that XLA's SPMD partitioner
+    cannot split — under plain GSPMD a dp-sharded batch would be
+    all-gathered onto every device and the kernel run replicated. This
+    island runs the unmodified single-device kernel on each shard's local
+    batch instead (every kernel grid here is batch-parallel), and the
+    shard_map transpose psums the replicated-weight cotangents over 'data',
+    so dp training gradients equal the single-device step
+    (tests/test_parallel.py). Precondition: parallel.mesh.dp_shardable —
+    pure-dp mesh, batch % data == 0.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data", None, None)
+    fn = jax.shard_map(
+        lambda xx, pp: mha_flash(xx, pp, num_heads, n_valid=n_valid,
+                                 prefer_folded=prefer_folded,
+                                 interpret=interpret),
+        mesh=mesh, in_specs=(spec, P()), out_specs=spec, check_vma=False)
+    return fn(x, params)

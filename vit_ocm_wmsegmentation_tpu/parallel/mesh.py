@@ -14,6 +14,7 @@ place the collectives on ICI.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 import jax
 import numpy as np
@@ -83,6 +84,60 @@ def data_parallel_sharding(mesh: Mesh, params) -> dict:
 
 def shard_params(params, shardings):
     return jax.tree.map(lambda p, s: jax.device_put(p, s), params, shardings)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-mesh context: which mesh the Pallas kernels shard_map over.
+#
+# pallas_call lowers to a Mosaic custom call that XLA's SPMD partitioner
+# cannot split: under plain GSPMD a dp-sharded operand would be all-gathered
+# onto every device and the kernel run replicated. The TPU-native answer is
+# a jax.shard_map island — each shard runs the unmodified single-device
+# kernel on its local batch (the kernel grids are batch-parallel), and the
+# shard_map transpose psums the replicated-weight cotangents, so training
+# gradients match the single-device step exactly.
+#
+# The context is trace-time module state: make_train_step enters
+# kernel_mesh_scope inside the jitted step body, and ops/attention.mha_auto
+# plus the models/vit training kernel routes consult kernel_mesh() while
+# being traced. Pure-dp meshes wrap; tp>1 falls back to the XLA attention
+# (GSPMD partitions it along the Megatron rules) — documented delta.
+# ---------------------------------------------------------------------------
+
+_KERNEL_MESH: list = [None]
+
+
+def set_kernel_mesh(mesh):
+    """Point the Pallas kernel dispatch at a mesh (None disables). Returns
+    the previous value so callers can restore it."""
+    prev = _KERNEL_MESH[0]
+    _KERNEL_MESH[0] = mesh
+    return prev
+
+
+def kernel_mesh():
+    """The mesh Pallas kernels should shard_map over, or None."""
+    return _KERNEL_MESH[0]
+
+
+@contextmanager
+def kernel_mesh_scope(mesh):
+    prev = set_kernel_mesh(mesh)
+    try:
+        yield mesh
+    finally:
+        set_kernel_mesh(prev)
+
+
+def dp_shardable(mesh, batch: int) -> bool:
+    """True when `mesh` is pure-dp with >1 devices and `batch` divides over
+    its data axis — the precondition for the shard_map kernel wrap."""
+    return (
+        mesh is not None
+        and dict(mesh.shape).get("model", 1) == 1
+        and dict(mesh.shape).get("data", 1) > 1
+        and batch % mesh.shape["data"] == 0
+    )
 
 
 def is_main_process() -> bool:

@@ -53,7 +53,13 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
         return loss
 
     def step(params, opt_state, x, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)
+        # trace-time: point the Pallas kernel dispatch at the mesh so a
+        # pure-dp mesh shard_maps the kernels instead of leaving GSPMD to
+        # replicate the Mosaic custom calls (parallel/mesh.py)
+        from ..parallel.mesh import kernel_mesh_scope
+
+        with kernel_mesh_scope(mesh):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)
         gnorm = optax.global_norm(grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
