@@ -96,13 +96,29 @@ def probe(variant):
     fresh = jax.jit(lambda s: jax.tree.map(
         lambda a: a + 0 if jnp.issubdtype(a.dtype, jnp.inexact) else a, s))
     state_keep = (params, opt_state)
+
+    # miscompile guard: every variant is grad-exact vs stock, so the first
+    # step's loss/grad-norm from the pristine state must agree across
+    # variants to bf16 noise — a Pallas variant whose numbers diverge here
+    # is Mosaic-miscompiled and must not become the default.
+    sp = fresh(state_keep)
+    _, _, loss, gn = step(sp[0], sp[1], x, mask)
+    print(json.dumps({"variant": variant, "first_loss": round(float(loss), 6),
+                      "first_gnorm": round(float(gn), 5)}), flush=True)
+
     fit(f"mim_step_{variant}", run, lambda: fresh(state_keep), [1, 2, 4, 8, 16])
 
 
 def main():
     for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel",
                                     "kernel+lnqkv", "gelu+lnqkv"]:
-        probe(variant)
+        # a variant that fails to compile (the Pallas kernels have only met
+        # the interpret-mode evaluator so far) must not sink the others
+        try:
+            probe(variant)
+        except Exception as e:  # noqa: BLE001 - survey probe, report + go on
+            print(json.dumps({"workload": f"mim_step_{variant}",
+                              "error": repr(e)[:500]}), flush=True)
 
 
 if __name__ == "__main__":
