@@ -271,3 +271,34 @@ def test_dp_train_step_flash_attention_route():
     np.testing.assert_allclose(float(g8), float(g1), atol=1e-4)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_mosaic_inference_dp_kernel_route_odd_tiles():
+    """Multi-chip inference through the dp kernel dispatch: a 49-tile
+    mosaic (indivisible by the 8-way mesh — mha_auto pads the tile batch
+    with zero rows and slices the output) must equal the plain path.
+    Eager calls on the unjitted pipeline: the kernel-mesh context is
+    trace-time state, so the module-level jit cache must be bypassed to
+    trace both variants."""
+    from vit_ocm_wmsegmentation_tpu import pipeline as pl
+    from vit_ocm_wmsegmentation_tpu.ops import attention as att_mod
+    from vit_ocm_wmsegmentation_tpu.parallel.mesh import kernel_mesh_scope
+
+    raw = pl.segment_mosaic.__wrapped__
+    params = vit.init(CFG, jax.random.PRNGKey(9))
+    img = jnp.asarray(
+        (np.random.default_rng(10).random((88, 88)) * 255).astype(np.uint8))
+    # window 40 / stride 8 on 88^2 -> 7x7 = 49 tiles, 49 % 8 == 1
+    want_mask, want_attn = raw(params, CFG, img, window=40, stride=8)
+
+    mesh = make_mesh()
+    att_mod.DP_KERNEL_INTERPRET = True
+    try:
+        with kernel_mesh_scope(mesh):
+            got_mask, got_attn = raw(params, CFG, img, window=40, stride=8)
+    finally:
+        att_mod.DP_KERNEL_INTERPRET = False
+
+    np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+    np.testing.assert_allclose(np.asarray(got_attn), np.asarray(want_attn),
+                               atol=5e-3)  # 0..255 scale

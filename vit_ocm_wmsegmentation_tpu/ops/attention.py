@@ -121,15 +121,23 @@ def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
     if on_tpu or (DP_KERNEL_INTERPRET and mesh is not None):
         from .flash_attention import mha_flash, mha_flash_dp
 
-        if dp_shardable(mesh, x.shape[0]):
-            return mha_flash_dp(x, params, num_heads, mesh, n_valid=n_valid,
-                                prefer_folded=prefer_folded,
-                                interpret=not on_tpu)
+        b = x.shape[0]
+        data = dict(mesh.shape).get("data", 1) if mesh is not None else 1
+        if dp_shardable(mesh, -(-b // data) * data):
+            # indivisible batches (e.g. the mosaic's 49/1089 tile counts)
+            # pad with zero rows: their cotangent is zero, so weight grads
+            # are untouched, and the rows are sliced off the output
+            bp = -(-b // data) * data
+            xw = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0))) if bp != b else x
+            out = mha_flash_dp(xw, params, num_heads, mesh, n_valid=n_valid,
+                               prefer_folded=prefer_folded,
+                               interpret=not on_tpu)
+            return out[:b] if bp != b else out
         multi = mesh is not None and mesh.size > 1
         if on_tpu and not multi:
             return mha_flash(x, params, num_heads, n_valid=n_valid,
                              prefer_folded=prefer_folded)
-        # tp>1 (or an indivisible batch): GSPMD-partitionable XLA path below
+        # tp>1: GSPMD-partitionable XLA path below
     if n_valid is not None and n_valid != x.shape[1]:
         out = mha_fused(x[:, :n_valid], params, num_heads)
         return jnp.pad(out, ((0, 0), (0, x.shape[1] - n_valid), (0, 0)))

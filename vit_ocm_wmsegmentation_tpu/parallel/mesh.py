@@ -109,7 +109,12 @@ _KERNEL_MESH: list = [None]
 
 def set_kernel_mesh(mesh):
     """Point the Pallas kernel dispatch at a mesh (None disables). Returns
-    the previous value so callers can restore it."""
+    the previous value so callers can restore it.
+
+    Trace-time state: jit caches do NOT key on this context, so set it
+    before the first call of a given shape (make_train_step does this
+    inside the step body; for the jitted pipeline entry points, set it
+    before the first segment_mosaic/attention_mosaic call of a run)."""
     prev = _KERNEL_MESH[0]
     _KERNEL_MESH[0] = mesh
     return prev
