@@ -274,28 +274,24 @@ def test_dp_train_step_flash_attention_route():
 
 
 def test_mosaic_inference_dp_kernel_route_odd_tiles():
-    """Multi-chip inference through the dp kernel dispatch: a 49-tile
-    mosaic (indivisible by the 8-way mesh — mha_auto pads the tile batch
-    with zero rows and slices the output) must equal the plain path.
-    Eager calls on the unjitted pipeline: the kernel-mesh context is
-    trace-time state, so the module-level jit cache must be bypassed to
-    trace both variants."""
+    """Multi-chip inference through segment_mosaic's static mesh arg: a
+    49-tile mosaic (indivisible by the 8-way mesh — dp_island pads the
+    tile batch with zero rows and slices the output) must equal the plain
+    path. The mesh is part of the jit cache key, so both variants trace."""
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
     from vit_ocm_wmsegmentation_tpu.ops import attention as att_mod
-    from vit_ocm_wmsegmentation_tpu.parallel.mesh import kernel_mesh_scope
 
-    raw = pl.segment_mosaic.__wrapped__
     params = vit.init(CFG, jax.random.PRNGKey(9))
     img = jnp.asarray(
         (np.random.default_rng(10).random((88, 88)) * 255).astype(np.uint8))
     # window 40 / stride 8 on 88^2 -> 7x7 = 49 tiles, 49 % 8 == 1
-    want_mask, want_attn = raw(params, CFG, img, window=40, stride=8)
+    want_mask, want_attn = pl.segment_mosaic(params, CFG, img, window=40,
+                                             stride=8)
 
-    mesh = make_mesh()
     att_mod.DP_KERNEL_INTERPRET = True
     try:
-        with kernel_mesh_scope(mesh):
-            got_mask, got_attn = raw(params, CFG, img, window=40, stride=8)
+        got_mask, got_attn = pl.segment_mosaic(params, CFG, img, window=40,
+                                               stride=8, mesh=make_mesh())
     finally:
         att_mod.DP_KERNEL_INTERPRET = False
 

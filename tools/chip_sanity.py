@@ -87,6 +87,12 @@ def step_numbers(mlp_remat, ln_qkv):
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
+    if mode == "ref" and jax.default_backend() in ("tpu", "axon"):
+        # a chip-generated "reference" would make the gate chip-vs-chip
+        print("refusing to write the CPU reference from the TPU backend; "
+              "run: JAX_PLATFORMS=cpu python tools/chip_sanity.py ref",
+              file=sys.stderr)
+        return 2
     results = {}
     for name, mlp_remat, ln_qkv in VARIANTS:
         try:
@@ -103,13 +109,21 @@ def main():
         with open(REF_PATH, "w") as f:
             json.dump(results, f, indent=1)
         print(f"wrote {REF_PATH}")
+        if any("error" in r for r in results.values()):
+            print("REF_HAS_ERRORS: fix the failing variants and regenerate",
+                  file=sys.stderr)
+            return 1
         return 0
 
     with open(REF_PATH) as f:
         ref = json.load(f)
     bad = []
     for name, got in results.items():
-        want = ref.get(name, {})
+        want = ref.get(name)
+        if want is None:
+            bad.append((name, "missing-from-ref",
+                        "regenerate tools/chip_sanity_ref.json on CPU"))
+            continue
         if "error" in got or "error" in want:
             bad.append((name, "error", got.get("error") or want.get("error")))
             continue

@@ -103,23 +103,45 @@ def probe(variant):
     # is Mosaic-miscompiled and must not become the default.
     sp = fresh(state_keep)
     _, _, loss, gn = step(sp[0], sp[1], x, mask)
-    print(json.dumps({"variant": variant, "first_loss": round(float(loss), 6),
-                      "first_gnorm": round(float(gn), 5)}), flush=True)
+    loss, gn = float(loss), float(gn)
+    print(json.dumps({"variant": variant, "first_loss": round(loss, 6),
+                      "first_gnorm": round(gn, 5)}), flush=True)
 
     fit(f"mim_step_{variant}", run, lambda: fresh(state_keep), [1, 2, 4, 8, 16])
+    return loss, gn
+
+
+# bf16 AMP step: variants are grad-exact, so first-step numbers may differ
+# only by bf16 reduction noise
+GUARD_RTOL = 5e-3
 
 
 def main():
+    anchor = None  # baseline's (loss, gnorm)
+    rc = 0
     for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel",
                                     "kernel+lnqkv", "gelu+lnqkv"]:
         # a variant that fails to compile (the Pallas kernels have only met
         # the interpret-mode evaluator so far) must not sink the others
         try:
-            probe(variant)
+            nums = probe(variant)
         except Exception as e:  # noqa: BLE001 - survey probe, report + go on
             print(json.dumps({"workload": f"mim_step_{variant}",
                               "error": repr(e)[:500]}), flush=True)
+            continue
+        if anchor is None:
+            anchor = nums
+            continue
+        drift = max(abs(a - b) / max(1.0, abs(a)) for a, b in zip(anchor, nums))
+        if drift > GUARD_RTOL:
+            print(json.dumps({"PROBE_GUARD_FAIL": variant,
+                              "first_step": nums, "baseline": anchor,
+                              "note": "Mosaic miscompile suspected; do NOT "
+                                      "ship this variant as the default"}),
+                  flush=True)
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -277,23 +277,23 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     train=True applies the measured-best MLP remat mode (MLP_REMAT) so the
     backward pass recomputes the elementwise tail inside the matmuls.
     """
-    from jax.sharding import PartitionSpec as P
-
-    from ..parallel.mesh import dp_shardable, kernel_mesh
+    from ..parallel.mesh import dp_island, kernel_mesh, pure_dp
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     mesh = kernel_mesh()
-    dp_spec = P("data", None, None)
+    # on a multi-device mesh the Pallas kernel routes engage only for
+    # pure-dp (via a shard_map island — GSPMD can't partition the Mosaic
+    # custom call); tp>1 falls back to the partitionable XLA paths, same
+    # policy as mha_auto
+    single = mesh is None or mesh.size == 1
+    kernel_ok = single or pure_dp(mesh)
     if (train and impl == "auto" and n_valid is None and LN_QKV == "kernel"
-            and (on_tpu or FUSED_MLP_INTERPRET)):
-        if dp_shardable(mesh, x.shape[0]):
-            # shard_map island: GSPMD can't partition the Mosaic custom
-            # call; per shard this is the single-device kernel (mesh.py)
-            y = jax.shard_map(
+            and kernel_ok and (on_tpu or FUSED_MLP_INTERPRET)):
+        if pure_dp(mesh):
+            y = dp_island(
                 lambda xx, pp: _ln_qkv_attention(pp, cfg, xx,
                                                  interpret=not on_tpu),
-                mesh=mesh, in_specs=(dp_spec, P()), out_specs=dp_spec,
-                check_vma=False)(x, bp)
+                mesh, x, bp)
         else:
             y = _ln_qkv_attention(bp, cfg, x, interpret=not on_tpu)
     else:
@@ -308,7 +308,7 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     x = x + y
     mode = MLP_REMAT if train else None
     if mode == "kernel":
-        if on_tpu or FUSED_MLP_INTERPRET:
+        if kernel_ok and (on_tpu or FUSED_MLP_INTERPRET):
             from ..ops.fused_mlp import DEFAULT_BLOCK_R, fused_mlp_block
 
             b, n, d = x.shape
@@ -322,13 +322,12 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
             args = (x, bp["norm2"]["scale"], bp["norm2"]["bias"],
                     bp["mlp"]["w1"], bp["mlp"]["b1"],
                     bp["mlp"]["w2"], bp["mlp"]["b2"])
-            if dp_shardable(mesh, b):
-                return jax.shard_map(
-                    _mlp_kernel_call, mesh=mesh,
-                    in_specs=(dp_spec,) + (P(),) * 6, out_specs=dp_spec,
-                    check_vma=False)(*args)
+            if pure_dp(mesh):
+                return dp_island(_mlp_kernel_call, mesh, *args)
             return _mlp_kernel_call(*args)
-        mode = "gelu"  # CPU fallback: interpret mode is for tests only
+        # tp>1 mesh (or CPU without interpret): the partitionable XLA
+        # remat path computes the same function
+        mode = "gelu"
     if mode:
         mlp = jax.checkpoint(
             partial(_mlp_forward, bp, cfg, remat_mode=mode),

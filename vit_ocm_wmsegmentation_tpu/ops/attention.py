@@ -114,27 +114,19 @@ def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
     n_valid marks x as a padded residual stream (flash_attention.mha_flash);
     the CPU fallback slices to the valid rows and pads the result back.
     """
-    from ..parallel.mesh import dp_shardable, kernel_mesh
+    from ..parallel.mesh import kernel_mesh, pure_dp
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     mesh = kernel_mesh()
     if on_tpu or (DP_KERNEL_INTERPRET and mesh is not None):
         from .flash_attention import mha_flash, mha_flash_dp
 
-        b = x.shape[0]
-        data = dict(mesh.shape).get("data", 1) if mesh is not None else 1
-        if dp_shardable(mesh, -(-b // data) * data):
-            # indivisible batches (e.g. the mosaic's 49/1089 tile counts)
-            # pad with zero rows: their cotangent is zero, so weight grads
-            # are untouched, and the rows are sliced off the output
-            bp = -(-b // data) * data
-            xw = jnp.pad(x, ((0, bp - b), (0, 0), (0, 0))) if bp != b else x
-            out = mha_flash_dp(xw, params, num_heads, mesh, n_valid=n_valid,
-                               prefer_folded=prefer_folded,
-                               interpret=not on_tpu)
-            return out[:b] if bp != b else out
-        multi = mesh is not None and mesh.size > 1
-        if on_tpu and not multi:
+        if pure_dp(mesh):
+            # dp_island pads indivisible batches (mosaic tile counts)
+            return mha_flash_dp(x, params, num_heads, mesh, n_valid=n_valid,
+                                prefer_folded=prefer_folded,
+                                interpret=not on_tpu)
+        if on_tpu and (mesh is None or mesh.size == 1):
             return mha_flash(x, params, num_heads, n_valid=n_valid,
                              prefer_folded=prefer_folded)
         # tp>1: GSPMD-partitionable XLA path below

@@ -534,20 +534,18 @@ def mha_flash_dp(x, params, num_heads, mesh, *, n_valid: int | None = None,
 
     pallas_call lowers to a Mosaic custom call that XLA's SPMD partitioner
     cannot split — under plain GSPMD a dp-sharded batch would be
-    all-gathered onto every device and the kernel run replicated. This
-    island runs the unmodified single-device kernel on each shard's local
-    batch instead (every kernel grid here is batch-parallel), and the
-    shard_map transpose psums the replicated-weight cotangents over 'data',
+    all-gathered onto every device and the kernel run replicated. The
+    dp_island wrapper (parallel/mesh.py) runs the unmodified single-device
+    kernel on each shard's local batch instead (every kernel grid here is
+    batch-parallel), psums the replicated-weight cotangents over 'data' via
+    the shard_map transpose, and pads indivisible batches with zero rows —
     so dp training gradients equal the single-device step
-    (tests/test_parallel.py). Precondition: parallel.mesh.dp_shardable —
-    pure-dp mesh, batch % data == 0.
+    (tests/test_parallel.py). Precondition: parallel.mesh.pure_dp.
     """
-    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import dp_island
 
-    spec = P("data", None, None)
-    fn = jax.shard_map(
+    return dp_island(
         lambda xx, pp: mha_flash(xx, pp, num_heads, n_valid=n_valid,
                                  prefer_folded=prefer_folded,
                                  interpret=interpret),
-        mesh=mesh, in_specs=(spec, P()), out_specs=spec, check_vma=False)
-    return fn(x, params)
+        mesh, x, params)

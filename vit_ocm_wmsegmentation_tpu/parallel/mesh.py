@@ -134,15 +134,42 @@ def kernel_mesh_scope(mesh):
         set_kernel_mesh(prev)
 
 
-def dp_shardable(mesh, batch: int) -> bool:
-    """True when `mesh` is pure-dp with >1 devices and `batch` divides over
-    its data axis — the precondition for the shard_map kernel wrap."""
+def pure_dp(mesh) -> bool:
+    """True when `mesh` is pure data-parallel with >1 devices — the
+    precondition for the shard_map kernel islands (dp_island)."""
     return (
         mesh is not None
         and dict(mesh.shape).get("model", 1) == 1
         and dict(mesh.shape).get("data", 1) > 1
-        and batch % mesh.shape["data"] == 0
     )
+
+
+def dp_island(fn, mesh, x, *replicated):
+    """Run ``fn(x_shard, *replicated)`` as a jax.shard_map island over the
+    mesh's 'data' axis on x's leading dim.
+
+    The single place the pure-dp kernel wrap lives (used by
+    ops/flash_attention.mha_flash_dp and the models/vit training kernel
+    routes): replicated operands (weight pytrees) get P() specs, and their
+    cotangents psum over 'data' via the shard_map transpose, so gradients
+    equal the single-device computation. An indivisible leading axis (the
+    mosaic's 49/1089-style tile counts) is padded with zero rows — their
+    cotangent is zero, so replicated-operand grads are untouched — and the
+    output sliced back. fn's output must be row-aligned with its input
+    (same leading dim), which holds for every kernel here.
+    """
+    import jax.numpy as jnp
+
+    data = dict(mesh.shape)["data"]
+    b = x.shape[0]
+    bp = -(-b // data) * data
+    xp = jnp.pad(x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1)) if bp != b else x
+    spec = P(*(["data"] + [None] * (x.ndim - 1)))
+    out = jax.shard_map(
+        fn, mesh=mesh,
+        in_specs=(spec,) + (P(),) * len(replicated),
+        out_specs=spec, check_vma=False)(xp, *replicated)
+    return out[:b] if bp != b else out
 
 
 def is_main_process() -> bool:

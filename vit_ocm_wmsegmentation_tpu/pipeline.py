@@ -17,6 +17,7 @@ between the patch embed and the final uint8 mask.
 
 from __future__ import annotations
 
+from contextlib import nullcontext as _NULL_SCOPE
 from functools import partial
 
 import numpy as np
@@ -185,26 +186,32 @@ def _per_tile_attention(params, cfg, tiles_u8, window, median_size=1, dtype=jnp.
 TILE_CHUNK = 256
 
 
-@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
-def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1, dtype=jnp.float32):
+@partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype",
+                                   "mesh"))
+def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
+                     dtype=jnp.float32, mesh=None):
     """Full-mosaic attention map: (H, W) uint8 -> (H, W) float32.
 
     One fused graph: batched gather -> vmapped ViT (CLS-row attention) ->
     per-tile normalize/smooth -> ramp-blended overlap-add stitch.
+    ``mesh`` (static): multi-chip mesh — see segment_mosaic.
     """
+    from .parallel.mesh import kernel_mesh_scope
+
     validate_window_geometry(window, stride)
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
     tiles = mosaic_tiles(padded, window, stride)
     t = tiles.shape[0]
-    if t <= TILE_CHUNK:
-        maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
-    else:
-        k = -(-t // TILE_CHUNK)
-        tiles = jnp.pad(tiles, ((0, k * TILE_CHUNK - t), (0, 0), (0, 0)), mode="edge")
-        chunks = tiles.reshape(k, TILE_CHUNK, window, window)
-        maps = jax.lax.map(
-            lambda c: _per_tile_attention(params, cfg, c, window, median_size, dtype), chunks
-        ).reshape(k * TILE_CHUNK, window, window)[:t]
+    with kernel_mesh_scope(mesh) if mesh is not None else _NULL_SCOPE():
+        if t <= TILE_CHUNK:
+            maps = _per_tile_attention(params, cfg, tiles, window, median_size, dtype)
+        else:
+            k = -(-t // TILE_CHUNK)
+            tiles = jnp.pad(tiles, ((0, k * TILE_CHUNK - t), (0, 0), (0, 0)), mode="edge")
+            chunks = tiles.reshape(k, TILE_CHUNK, window, window)
+            maps = jax.lax.map(
+                lambda c: _per_tile_attention(params, cfg, c, window, median_size, dtype), chunks
+            ).reshape(k * TILE_CHUNK, window, window)[:t]
     stitched = st.stitch_blended(maps, window, stride, padded.shape)
     return stitched[:h, :w]
 
@@ -345,9 +352,9 @@ def _threshold_mult_streamed(timg, attn):
 
 
 @partial(jax.jit, static_argnames=("cfg", "window", "stride", "median_size", "dtype",
-                                   "exact_stitch"))
+                                   "exact_stitch", "mesh"))
 def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
-                   dtype=jnp.float32, exact_stitch=False):
+                   dtype=jnp.float32, exact_stitch=False, mesh=None):
     """Mosaic white-matter mask: the sw_processing.py end-to-end flow.
 
     Returns (mask_u8 {0,255}, attention (H,W) float32). The reference
@@ -359,8 +366,14 @@ def segment_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
     re-stitched image bit-exactly (ops.stitch.restitch_u8 reproduces the
     per-blend uint8 truncation of sw_processing.py:224-229), for near-bit
     parity against the reference's executed code (tools/parity_fullscale.py).
+
+    ``mesh``: a multi-chip jax Mesh to run on — static, so the jit cache
+    keys on it (the ambient parallel.mesh.set_kernel_mesh context alone
+    would not retrace an already-cached shape). A pure-dp mesh shards the
+    tile axis and runs the Pallas kernels per shard (dp_island).
     """
-    attn = attention_mosaic(params, cfg, img_u8, window, stride, median_size, dtype)
+    attn = attention_mosaic(params, cfg, img_u8, window, stride, median_size,
+                            dtype, mesh)
     timg = img_u8
     if exact_stitch:
         padded, (h, w) = pad_mosaic(img_u8, window, stride)
