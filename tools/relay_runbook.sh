@@ -1,0 +1,49 @@
+#!/bin/bash
+# Relay-return runbook (round 3): the moment the TPU relay answers, run the
+# full chip sequence unattended and leave the evidence in /tmp:
+#
+#   1. tools/probe_fused_mlp.py  -> /tmp/probe_mlp.log   (6 MIM step variants,
+#      slope-fit; cross-variant first-loss miscompile guard)
+#   2. tools/chip_sanity.py check -> /tmp/chip_sanity.log (Mosaic-vs-CPU
+#      numerics gate over every training kernel route)
+#   3. python bench.py            -> /tmp/bench_relay.log (headline + Dice gate)
+#
+# Variant selection / BENCH.md updates stay manual (see memory runbook): a
+# human (or the next session) reads /tmp/probe_mlp.log, picks the min-slope
+# variant that passed the guard, and only then flips models/vit.py defaults.
+#
+# Probe attempts are cheap to issue but a relay-down init takes ~25 min to
+# raise (CLAUDE.md "Environment facts"), so the loop polls with a tiny op and
+# backs off 5 min between failures. Never kill this script's children by
+# pattern; use the pid files it writes.
+
+cd /root/repo || exit 1
+echo "runbook start $(date -u)" >> /tmp/relay_watch.log
+for i in $(seq 1 200); do
+  python -c "
+import jax, jax.numpy as jnp
+jax.devices()
+print('RELAY_OK', float(jnp.sum(jnp.ones((8,8)))))
+" >> /tmp/relay_watch.log 2>&1 && break
+  echo "attempt $i failed $(date -u)" >> /tmp/relay_watch.log
+  sleep 300
+done
+if ! grep -q RELAY_OK /tmp/relay_watch.log; then
+  echo "runbook gave up $(date -u)" >> /tmp/relay_watch.log
+  exit 1
+fi
+echo "relay back $(date -u)" >> /tmp/relay_watch.log
+
+echo "== probe_fused_mlp $(date -u)" > /tmp/probe_mlp.log
+python tools/probe_fused_mlp.py >> /tmp/probe_mlp.log 2>&1
+echo "EXIT:$?" >> /tmp/probe_mlp.log
+
+echo "== chip_sanity $(date -u)" > /tmp/chip_sanity.log
+python tools/chip_sanity.py check >> /tmp/chip_sanity.log 2>&1
+echo "EXIT:$?" >> /tmp/chip_sanity.log
+
+echo "== bench $(date -u)" > /tmp/bench_relay.log
+python bench.py >> /tmp/bench_relay.log 2>&1
+echo "EXIT:$?" >> /tmp/bench_relay.log
+
+echo "runbook done $(date -u)" >> /tmp/relay_watch.log
