@@ -35,16 +35,26 @@ def main():
     import subprocess
 
     probe = [sys.executable, "-c", "import jax; jax.devices()"]
-    for attempt in range(3):  # a failed init takes ~25 min to raise; bound it
-        r = subprocess.run(probe, capture_output=True, timeout=1800)
-        if r.returncode == 0:
+    for attempt in range(3):
+        # a failed init takes ~25 min to raise on its own; give it 35 so the
+        # normal failure path (no kill) is what bounds the attempt
+        timed_out = False
+        try:
+            r = subprocess.run(probe, capture_output=True, timeout=2100)
+            ok, err = r.returncode == 0, r.stderr.decode()[-2000:]
+        except subprocess.TimeoutExpired:
+            # killing a mid-init probe can wedge the relay grant for ~2-3
+            # min (CLAUDE.md) — treat as a failed attempt and wait it out
+            ok, err, timed_out = False, "backend probe timed out (2100s)", True
+        if ok:
             break
         if attempt == 2:
-            sys.stderr.write(r.stderr.decode()[-2000:])
+            sys.stderr.write(err)
             raise RuntimeError("TPU backend unavailable after 3 probes")
-        print(f"backend probe {attempt + 1} failed; retrying in 60s",
+        wait = 180 if timed_out else 60
+        print(f"backend probe {attempt + 1} failed; retrying in {wait}s",
               file=sys.stderr, flush=True)
-        time.sleep(60)
+        time.sleep(wait)
     import jax.numpy as jnp
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl

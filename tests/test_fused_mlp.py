@@ -92,15 +92,22 @@ def test_ln_linear_forward_and_grads_match_xla():
 
 
 def test_set_train_kernel_modes_config_knob(monkeypatch):
-    """cfg.TRAIN.MLP_REMAT / LN_QKV select the module routes; 'auto' keeps
-    the shipped defaults; bad values raise."""
-    monkeypatch.setattr(vit_mod, "MLP_REMAT", "gelu")
-    monkeypatch.setattr(vit_mod, "LN_QKV", None)
+    """cfg.TRAIN.MLP_REMAT / LN_QKV select the module routes; 'auto'
+    RESTORES the shipped defaults (a previous run's explicit mode must not
+    leak into the next config-driven run); bad values raise."""
+    monkeypatch.setattr(vit_mod, "_SHIPPED_MLP_REMAT", "gelu")
+    monkeypatch.setattr(vit_mod, "_SHIPPED_LN_QKV", None)
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    monkeypatch.setattr(vit_mod, "LN_QKV", "kernel")
 
+    # auto = the shipped defaults, regardless of what the globals held
     assert vit_mod.set_train_kernel_modes("auto", "auto") == ("gelu", None)
     assert vit_mod.set_train_kernel_modes("kernel", "kernel") == ("kernel", "kernel")
     assert vit_mod.set_train_kernel_modes("none", "none") == (None, None)
     assert vit_mod.set_train_kernel_modes("gelu+ln", "auto") == ("gelu+ln", None)
+    # a back-to-back auto run does not inherit the previous explicit mode
+    vit_mod.set_train_kernel_modes("kernel", "kernel")
+    assert vit_mod.set_train_kernel_modes("auto", "auto") == ("gelu", None)
     with pytest.raises(ValueError):
         vit_mod.set_train_kernel_modes("bogus", "auto")
     with pytest.raises(ValueError):

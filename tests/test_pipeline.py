@@ -247,3 +247,21 @@ def test_histogram_pallas_interpret_matches_full():
         full = np.asarray(th.histogram_u8(img))
         got = np.asarray(th.histogram_u8_pallas(img, block_rows=8, interpret=True))
         np.testing.assert_array_equal(got, full)
+
+
+def test_histogram_pallas_exact_past_f32_accumulation():
+    """Gigapixel contract: per-bin counts beyond 2^24 stay exact. An f32
+    accumulator sticks at 16777216 (every subsequent += rounds away); the
+    int32 accumulator matches histogram_u8's single int->f32 rounding."""
+    import numpy as np
+
+    from vit_ocm_wmsegmentation_tpu.ops import threshold as th
+
+    n = (1 << 24) + 67
+    img = np.full(n, 7, np.uint8)
+    img[-5:] = 9
+    got = np.asarray(th.histogram_u8_pallas(jnp.asarray(img),
+                                            block_rows=8192, interpret=True))
+    expect = np.zeros(256, np.int64)
+    expect[7], expect[9] = n - 5, 5
+    np.testing.assert_array_equal(got, expect.astype(np.float32))

@@ -206,3 +206,19 @@ def test_partial_checkpoint_load_strict_false_semantics():
 
     with _pytest.raises(KeyError):
         vit_params_from_torch(sd, cfg12)
+
+    # strict=False covers the NON-block keys too: an encoder export missing
+    # pos_embed and the final norm keeps the fresh values for those, fills
+    # everything else from the checkpoint (and still raises without
+    # fresh_params)
+    sd_trim = {k: v for k, v in sd.items()
+               if k not in ("pos_embed", "norm.weight", "norm.bias")}
+    merged2 = vit_params_from_torch(sd_trim, cfg12, fresh_params=fresh)
+    np.testing.assert_allclose(np.asarray(merged2["pos_embed"]),
+                               np.asarray(fresh["pos_embed"]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(merged2["norm"]["scale"]),
+                               np.asarray(fresh["norm"]["scale"]), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(merged2["cls_token"]),
+                               np.asarray(trained["cls_token"]), atol=1e-7)
+    with _pytest.raises(KeyError):
+        vit_params_from_torch(sd_trim, cfg4)

@@ -162,7 +162,10 @@ def prepare_tokens(params, cfg: ViTConfig, x):
 # fused-block custom VJP (ops/fused_mlp.py) on TPU. None = the measured
 # 49.7 ms/iter baseline (BENCH.md); the remat/kernel modes stay opt-in
 # until the on-chip probe (blocked by the r3 relay outage) picks a winner.
-MLP_REMAT = None
+# _SHIPPED_* are what cfg "auto" restores; the mutable globals below are
+# the live routes (tests/probes may set them directly for one experiment).
+_SHIPPED_MLP_REMAT = None
+MLP_REMAT = _SHIPPED_MLP_REMAT
 
 # Tests only: run the fused MLP kernel in Pallas interpret mode on CPU so
 # the "kernel" path is exercised without a TPU (see tests/test_fused_mlp.py).
@@ -171,7 +174,8 @@ FUSED_MLP_INTERPRET = False
 # Training-path pre-attention norm: "kernel" fuses LN1 into the qkv
 # projection (ops/ln_linear.py) so the LN backward reductions run between
 # the projection's backward dots. None = stock layer_norm + dot.
-LN_QKV = None
+_SHIPPED_LN_QKV = None
+LN_QKV = _SHIPPED_LN_QKV
 
 _MLP_REMAT_CHOICES = ("auto", "none", "gelu", "gelu+ln", "kernel")
 _LN_QKV_CHOICES = ("auto", "none", "kernel")
@@ -181,9 +185,11 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto"):
     """Select the training-path kernel routes from config strings.
 
     Maps cfg.TRAIN.MLP_REMAT / cfg.TRAIN.LN_QKV onto the module globals:
-    "auto" keeps the measured-best shipped default, "none" disables the
-    route, any other value names a mode explicitly ("gelu", "gelu+ln",
-    "kernel" for the MLP branch; "kernel" for the pre-attention norm).
+    "auto" RESTORES the measured-best shipped default (so one process can
+    run config-driven trainings back to back without a previous run's
+    explicit mode leaking in), "none" disables the route, any other value
+    names a mode explicitly ("gelu", "gelu+ln", "kernel" for the MLP
+    branch; "kernel" for the pre-attention norm).
     Returns the effective (MLP_REMAT, LN_QKV) pair so callers can log it.
     """
     global MLP_REMAT, LN_QKV
@@ -192,9 +198,13 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto"):
             f"TRAIN.MLP_REMAT={mlp_remat!r} not in {_MLP_REMAT_CHOICES}")
     if ln_qkv not in _LN_QKV_CHOICES:
         raise ValueError(f"TRAIN.LN_QKV={ln_qkv!r} not in {_LN_QKV_CHOICES}")
-    if mlp_remat != "auto":
+    if mlp_remat == "auto":
+        MLP_REMAT = _SHIPPED_MLP_REMAT
+    else:
         MLP_REMAT = None if mlp_remat == "none" else mlp_remat
-    if ln_qkv != "auto":
+    if ln_qkv == "auto":
+        LN_QKV = _SHIPPED_LN_QKV
+    else:
         LN_QKV = None if ln_qkv == "none" else ln_qkv
     return MLP_REMAT, LN_QKV
 

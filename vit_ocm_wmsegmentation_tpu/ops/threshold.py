@@ -27,10 +27,19 @@ def min_max_normalize(x):
     return jnp.where(hi == lo, x, (x - lo) / (hi - lo))
 
 
-def histogram_u8(img_u8):
-    """256-bin histogram of a uint8 image (any shape)."""
+def _histogram_u8_i32(img_u8):
+    """256-bin histogram of a uint8 image (any shape), exact int32 counts."""
     one_hot = img_u8.reshape(-1, 1).astype(jnp.int32) == jnp.arange(256, dtype=jnp.int32)
-    return jnp.sum(one_hot, axis=0).astype(jnp.float32)
+    return jnp.sum(one_hot, axis=0)
+
+
+def histogram_u8(img_u8):
+    """256-bin histogram of a uint8 image (any shape).
+
+    Counts accumulate in int32 (exact up to 2^31-1 pixels per bin) and are
+    cast to f32 once at the end — a single rounding, never accumulation
+    drift, so every histogram variant in this module is bit-identical."""
+    return _histogram_u8_i32(img_u8).astype(jnp.float32)
 
 
 def histogram_u8_pallas(img_u8, *, block_rows: int = 2048, interpret: bool = False):
@@ -42,7 +51,9 @@ def histogram_u8_pallas(img_u8, *, block_rows: int = 2048, interpret: bool = Fal
     1.07 GP mosaic's threshold). Here each (block_rows, 128) block is
     loaded into VMEM ONCE and the 256 per-bin compare+count passes run at
     VPU rate out of VMEM; partial counts accumulate across the sequential
-    grid into one (256, 1) output (bit-identical integer counts).
+    grid into one (256, 1) int32 output (bit-identical integer counts —
+    an f32 accumulator would drift past 2^24 per-bin, i.e. exactly at the
+    gigapixel scale this kernel exists for).
     """
     import jax.experimental.pallas as pl_mod
     from jax.experimental.pallas import tpu as pltpu_mod
@@ -62,7 +73,7 @@ def histogram_u8_pallas(img_u8, *, block_rows: int = 2048, interpret: bool = Fal
         x = x_ref[0].astype(jnp.int32)
 
         def body(b, _):
-            c = jnp.sum((x == b).astype(jnp.float32)).reshape(1, 1)
+            c = jnp.sum((x == b).astype(jnp.int32)).reshape(1, 1)
             o_ref[pl_mod.ds(b, 1), 0:1] = o_ref[pl_mod.ds(b, 1), 0:1] + c
             return 0
 
@@ -79,14 +90,14 @@ def histogram_u8_pallas(img_u8, *, block_rows: int = 2048, interpret: bool = Fal
                                    memory_space=pltpu_mod.VMEM)],
         out_specs=pl_mod.BlockSpec((256, 1), lambda i: (0, 0),
                                    memory_space=pltpu_mod.VMEM),
-        out_shape=jax.ShapeDtypeStruct((256, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((256, 1), jnp.int32),
         compiler_params=pltpu_mod.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(x3)[:, 0]
     if pad:
-        hist = hist - jnp.zeros((256,), jnp.float32).at[255].set(float(pad))
-    return hist
+        hist = hist.at[255].add(-pad)
+    return hist.astype(jnp.float32)
 
 
 def histogram_u8_chunked(img_u8, chunk_px: int = 1 << 24):
@@ -103,10 +114,11 @@ def histogram_u8_chunked(img_u8, chunk_px: int = 1 << 24):
         return histogram_u8(flat)
     nch = n // chunk_px
     head = flat[: nch * chunk_px].reshape(nch, chunk_px)
-    hist = jnp.sum(jax.lax.map(histogram_u8, head), axis=0)
+    # int32 partials summed exactly; one f32 cast at the end (== histogram_u8)
+    hist = jnp.sum(jax.lax.map(_histogram_u8_i32, head), axis=0)
     if n % chunk_px:
-        hist = hist + histogram_u8(flat[nch * chunk_px :])
-    return hist
+        hist = hist + _histogram_u8_i32(flat[nch * chunk_px :])
+    return hist.astype(jnp.float32)
 
 
 def otsu_from_hist(hist):

@@ -320,11 +320,6 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
 
 
 @jax.jit
-def _threshold_mult_jit(timg, attn):
-    return th.threshold_multiplicative(timg, attn)
-
-
-@jax.jit
 def _threshold_mult_streamed(timg, attn):
     """threshold_multiplicative's first mask only, with gigapixel-bounded
     memory: the normalized-attention f32 canvas is fused into the single
@@ -334,14 +329,15 @@ def _threshold_mult_streamed(timg, attn):
     threshold_multiplicative(timg, attn)[0] (min-max then /max(attn)==1
     exactly when the canvas is non-constant, sw_processing.py:37-81)."""
     lo, hi = jnp.min(attn), jnp.max(attn)
-    norm = jnp.where(hi == lo, 1.0, 1.0 / (hi - lo))
+    # bit-identical to the one-shot path: same (x - lo)/(hi - lo) DIVISION
+    # (a reciprocal multiply differs by ~ulps, enough to flip a uint8
+    # truncation on boundary pixels), then the same trailing divide — /1.0
+    # (exact identity) for non-constant canvases, /max(|hi|, eps) raw
+    # passthrough for constant ones, as min_max_normalize does
+    rng = jnp.where(hi == lo, 1.0, hi - lo)
     shift = jnp.where(hi == lo, 0.0, lo)
-    # (attn - lo)/(hi - lo) has max exactly 1.0, so the reference's second
-    # /max(attn) divide is the identity; constant canvases keep raw values
-    # like min_max_normalize, then divide by max(|max|, eps) as the
-    # reference does
     denom2 = jnp.where(hi == lo, jnp.maximum(hi, th._FLT_EPSILON), 1.0)
-    result = (timg.astype(jnp.float32) * ((attn - shift) * norm) / denom2
+    result = (timg.astype(jnp.float32) * ((attn - shift) / rng) / denom2
               ).astype(jnp.uint8)
     if jax.default_backend() in ("tpu", "axon"):
         hist = th.histogram_u8_pallas(result)

@@ -72,15 +72,31 @@ def vit_params_from_torch(state_dict: dict, cfg: ViTConfig, checkpoint_key: str 
     sd = clean_torch_state_dict(state_dict, checkpoint_key)
     d, L = cfg.embed_dim, cfg.depth
 
-    pe = _np(sd["patch_embed.proj.weight"])  # (D, C, p, p)
+    def top(key, fresh_path, convert=None):
+        # strict=False covers the NON-block keys too: a checkpoint missing
+        # e.g. pos_embed or the final norm keeps the fresh tree's value,
+        # exactly like torch load_state_dict(strict=False)
+        if key in sd:
+            a = _np(sd[key])
+            return jnp.asarray(convert(a) if convert else a)
+        if fresh_params is not None:
+            node = fresh_params
+            for p in fresh_path:
+                node = node[p]
+            return jnp.asarray(np.asarray(node))
+        raise KeyError(key)
+
     params = {
         "patch_embed": {
-            "kernel": jnp.asarray(pe.transpose(2, 3, 1, 0).reshape(-1, d)),
-            "bias": jnp.asarray(_np(sd["patch_embed.proj.bias"])),
+            # (D, C, p, p) conv weight -> (p*p*3, D) matmul kernel
+            "kernel": top("patch_embed.proj.weight", ("patch_embed", "kernel"),
+                          lambda pe: pe.transpose(2, 3, 1, 0).reshape(-1, d)),
+            "bias": top("patch_embed.proj.bias", ("patch_embed", "bias")),
         },
-        "cls_token": jnp.asarray(_np(sd["cls_token"])),
-        "pos_embed": jnp.asarray(_np(sd["pos_embed"])),
-        "norm": {"scale": jnp.asarray(_np(sd["norm.weight"])), "bias": jnp.asarray(_np(sd["norm.bias"]))},
+        "cls_token": top("cls_token", ("cls_token",)),
+        "pos_embed": top("pos_embed", ("pos_embed",)),
+        "norm": {"scale": top("norm.weight", ("norm", "scale")),
+                 "bias": top("norm.bias", ("norm", "bias"))},
     }
 
     def fresh_leaf(fmt, i, transpose):
