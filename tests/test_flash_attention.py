@@ -98,6 +98,48 @@ def test_flash_auto_blockq_both_paths(monkeypatch):
     np.testing.assert_allclose(np.asarray(got_blocked), np.asarray(want), atol=2e-5)
 
 
+@pytest.mark.parametrize("n", [64, 130])
+@pytest.mark.parametrize("d", [64, 128])
+def test_flash_vjp_savep_matches_xla(n, d):
+    """save_p=True: the backward consumes the forward's saved P/inv instead
+    of recomputing exp(s - lse) — gradients must still match the XLA
+    oracle (f32: the P round-trip adds no rounding beyond the division)."""
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import flash_attention_trainable
+
+    q, k, v = _qkv(2, 2, n, d, seed=300 + n)
+    do = jnp.asarray(np.random.default_rng(n + 1).normal(0, 1, q.shape).astype(np.float32))
+    want_dq, want_dk, want_dv = _vjp_oracle(q, k, v, do)
+    _, vjp = jax.vjp(
+        lambda q, k, v: flash_attention_trainable(q, k, v, 128, True, True), q, k, v)
+    got_dq, got_dk, got_dv = vjp(do)
+    np.testing.assert_allclose(np.asarray(got_dq), np.asarray(want_dq), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_dk), np.asarray(want_dk), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(got_dv), np.asarray(want_dv), atol=3e-4)
+
+
+def test_flash_vjp_savep_bf16_matches_lse_route():
+    """bf16 AMP: the saved-P route must stay within bf16 rounding of both
+    the f32 oracle and the default lse-recompute route (they differ only
+    by P's bf16 store)."""
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import flash_attention_trainable
+
+    q, k, v = _qkv(1, 2, 100, 64, seed=31)
+    do = jnp.asarray(np.random.default_rng(32).normal(0, 1, q.shape).astype(np.float32))
+    want = _vjp_oracle(q, k, v, do)
+    qb, kb, vb = (x.astype(jnp.bfloat16) for x in (q, k, v))
+    _, vjp_sp = jax.vjp(
+        lambda a, b, c: flash_attention_trainable(a, b, c, 0, True, True), qb, kb, vb)
+    got_sp = vjp_sp(do.astype(jnp.bfloat16))
+    _, vjp_lse = jax.vjp(
+        lambda a, b, c: flash_attention_trainable(a, b, c, 0, True, False), qb, kb, vb)
+    got_lse = vjp_lse(do.astype(jnp.bfloat16))
+    for g, g2, w in zip(got_sp, got_lse, want):
+        assert g.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(g, dtype=np.float32), np.asarray(w), atol=0.15)
+        np.testing.assert_allclose(np.asarray(g, dtype=np.float32),
+                                   np.asarray(g2, dtype=np.float32), atol=0.1)
+
+
 def test_flash_vjp_bf16():
     """The training path runs bf16 under AMP: the Pallas backward must stay
     within bf16 rounding of the f32 XLA oracle."""

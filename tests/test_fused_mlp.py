@@ -95,28 +95,40 @@ def test_set_train_kernel_modes_config_knob(monkeypatch):
     """cfg.TRAIN.MLP_REMAT / LN_QKV select the module routes; 'auto'
     RESTORES the shipped defaults (a previous run's explicit mode must not
     leak into the next config-driven run); bad values raise."""
+    import importlib
+
+    # the function re-export shadows the submodule on attribute imports
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+
     monkeypatch.setattr(vit_mod, "_SHIPPED_MLP_REMAT", "gelu")
     monkeypatch.setattr(vit_mod, "_SHIPPED_LN_QKV", None)
     monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
     monkeypatch.setattr(vit_mod, "LN_QKV", "kernel")
+    monkeypatch.setattr(fa, "SAVE_P", True)
 
     # auto = the shipped defaults, regardless of what the globals held
-    assert vit_mod.set_train_kernel_modes("auto", "auto") == ("gelu", None)
-    assert vit_mod.set_train_kernel_modes("kernel", "kernel") == ("kernel", "kernel")
-    assert vit_mod.set_train_kernel_modes("none", "none") == (None, None)
-    assert vit_mod.set_train_kernel_modes("gelu+ln", "auto") == ("gelu+ln", None)
+    assert vit_mod.set_train_kernel_modes("auto", "auto") == ("gelu", None, False)
+    assert vit_mod.set_train_kernel_modes("kernel", "kernel", "on") == (
+        "kernel", "kernel", True)
+    assert vit_mod.set_train_kernel_modes("none", "none", "off") == (
+        None, None, False)
+    assert vit_mod.set_train_kernel_modes("gelu+ln", "auto") == ("gelu+ln", None, False)
     # a back-to-back auto run does not inherit the previous explicit mode
-    vit_mod.set_train_kernel_modes("kernel", "kernel")
-    assert vit_mod.set_train_kernel_modes("auto", "auto") == ("gelu", None)
+    vit_mod.set_train_kernel_modes("kernel", "kernel", "on")
+    assert vit_mod.set_train_kernel_modes("auto", "auto", "auto") == (
+        "gelu", None, False)
     with pytest.raises(ValueError):
         vit_mod.set_train_kernel_modes("bogus", "auto")
     with pytest.raises(ValueError):
         vit_mod.set_train_kernel_modes("auto", "gelu")
+    with pytest.raises(ValueError):
+        vit_mod.set_train_kernel_modes("auto", "auto", "yes")
 
     from vit_ocm_wmsegmentation_tpu.utils.config import default_config
 
     cfg = default_config()
     assert cfg.TRAIN.MLP_REMAT == "auto" and cfg.TRAIN.LN_QKV == "auto"
+    assert cfg.TRAIN.ATTN_SAVE_P == "auto"
 
 
 def test_mim_step_lnqkv_mode_matches_stock(monkeypatch):
@@ -136,6 +148,38 @@ def test_mim_step_lnqkv_mode_matches_stock(monkeypatch):
     monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
     l0, g0 = jax.value_and_grad(lossf)(params)
     monkeypatch.setattr(vit_mod, "LN_QKV", "kernel")
+    l1, g1 = jax.value_and_grad(lossf)(params)
+
+    assert float(l1) == pytest.approx(float(l0), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * scale)
+
+
+def test_mim_step_savep_route_matches_stock(monkeypatch):
+    """ATTN_SAVE_P through the whole MIM loss (the lnqkv interpret route is
+    the CPU path that reaches flash_attention_trainable): loss and grads
+    must match the stock autodiff graph."""
+    import importlib
+
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+
+    monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    pretrain_img_size=32)
+    params = simmim.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 4, 4)) > 0.5).astype(np.int32))
+
+    def lossf(p):
+        return simmim.mim_loss(p, cfg, x, mask, train=True)[0]
+
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    l0, g0 = jax.value_and_grad(lossf)(params)
+    monkeypatch.setattr(vit_mod, "LN_QKV", "kernel")
+    monkeypatch.setattr(fa, "SAVE_P", True)
     l1, g1 = jax.value_and_grad(lossf)(params)
 
     assert float(l1) == pytest.approx(float(l0), abs=1e-6)

@@ -28,6 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+# Importing the package BEFORE any backend init re-asserts an explicit
+# JAX_PLATFORMS=cpu env request over sitecustomize's "axon,cpu" override —
+# otherwise the "ref" mode's first device op attempts axon first and hangs
+# ~25 min whenever the relay is down (package __init__ does the re-assert).
+import vit_ocm_wmsegmentation_tpu  # noqa: F401
+
 try:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
@@ -37,14 +43,16 @@ except Exception:
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "chip_sanity_ref.json")
 
-# every training kernel route; (MLP_REMAT, LN_QKV)
+# every training kernel route; (MLP_REMAT, LN_QKV, ATTN_SAVE_P)
 VARIANTS = [
-    ("baseline", None, None),
-    ("gelu", "gelu", None),
-    ("gelu+ln", "gelu+ln", None),
-    ("kernel", "kernel", None),
-    ("lnqkv", None, "kernel"),
-    ("kernel+lnqkv", "kernel", "kernel"),
+    ("baseline", None, None, False),
+    ("gelu", "gelu", None, False),
+    ("gelu+ln", "gelu+ln", None, False),
+    ("kernel", "kernel", None, False),
+    ("lnqkv", None, "kernel", False),
+    ("kernel+lnqkv", "kernel", "kernel", False),
+    ("savep", None, None, True),
+    ("kernel+lnqkv+savep", "kernel", "kernel", True),
 ]
 
 # chip runs Pallas f32 kernels with bf16-free math but different reduction
@@ -52,7 +60,9 @@ VARIANTS = [
 RTOL = 2e-4
 
 
-def step_numbers(mlp_remat, ln_qkv):
+def step_numbers(mlp_remat, ln_qkv, save_p=False):
+    import importlib
+
     from vit_ocm_wmsegmentation_tpu.models import simmim
     from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
     from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
@@ -60,8 +70,11 @@ def step_numbers(mlp_remat, ln_qkv):
     from vit_ocm_wmsegmentation_tpu.train.optim import build_optimizer
     from vit_ocm_wmsegmentation_tpu.utils.config import default_config
 
-    saved = (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET)
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    saved = (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
+             fa.SAVE_P)
     vit_mod.MLP_REMAT, vit_mod.LN_QKV = mlp_remat, ln_qkv
+    fa.SAVE_P = save_p
     on_tpu = jax.default_backend() in ("tpu", "axon")
     # the CPU ref must exercise the same routes: interpret-mode kernels
     vit_mod.FUSED_MLP_INTERPRET = not on_tpu
@@ -82,7 +95,8 @@ def step_numbers(mlp_remat, ln_qkv):
         _, _, loss, gnorm = step(params, tx.init(params), x, mask)
         return float(loss), float(gnorm)
     finally:
-        vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET = saved
+        (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
+         fa.SAVE_P) = saved
 
 
 def main():
@@ -94,9 +108,9 @@ def main():
               file=sys.stderr)
         return 2
     results = {}
-    for name, mlp_remat, ln_qkv in VARIANTS:
+    for name, mlp_remat, ln_qkv, save_p in VARIANTS:
         try:
-            loss, gnorm = step_numbers(mlp_remat, ln_qkv)
+            loss, gnorm = step_numbers(mlp_remat, ln_qkv, save_p)
             results[name] = {"loss": loss, "gnorm": gnorm}
             print(json.dumps({"variant": name, "loss": round(loss, 7),
                               "gnorm": round(gnorm, 6)}), flush=True)

@@ -15,6 +15,10 @@ Variants, all slope-fit (tools/probe_scaling.py methodology):
   kernel   : Pallas fused residual+LN+MLP block, fwd+bwd (ops/fused_mlp.py)
   *+lnqkv  : suffix: additionally fuse LN1 into the qkv projection
              (ops/ln_linear.py via models/vit.LN_QKV)
+  *+savep  : suffix (or bare "savep"): attention backward consumes the
+             forward's saved P instead of recomputing exp(s - lse) —
+             targets the measured VPU-transcendental bound of the
+             attention bwd (ops/flash_attention.SAVE_P)
 
 Usage: python tools/probe_fused_mlp.py [variant ...]
 """
@@ -70,8 +74,18 @@ def fit(name, fn, x0_factory, ns):
 
 
 def probe(variant):
+    import importlib
+
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+
     mode = variant
     vit_mod.LN_QKV = None
+    fa.SAVE_P = False
+    if mode == "savep" or mode.endswith("+savep"):
+        # saved-P attention backward (no exp recompute); composes with any
+        # MLP/lnqkv mode
+        fa.SAVE_P = True
+        mode = mode[: -len("+savep")] if "+" in mode else "baseline"
     if mode.endswith("+lnqkv"):
         vit_mod.LN_QKV = "kernel"
         mode = mode[: -len("+lnqkv")] or "baseline"
@@ -120,7 +134,8 @@ def main():
     anchor = None  # baseline's (loss, gnorm)
     rc = 0
     for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel",
-                                    "kernel+lnqkv", "gelu+lnqkv"]:
+                                    "kernel+lnqkv", "gelu+lnqkv", "savep",
+                                    "gelu+lnqkv+savep", "kernel+lnqkv+savep"]:
         # a variant that fails to compile (the Pallas kernels have only met
         # the interpret-mode evaluator so far) must not sink the others
         try:

@@ -179,9 +179,14 @@ LN_QKV = _SHIPPED_LN_QKV
 
 _MLP_REMAT_CHOICES = ("auto", "none", "gelu", "gelu+ln", "kernel")
 _LN_QKV_CHOICES = ("auto", "none", "kernel")
+_ATTN_SAVE_P_CHOICES = ("auto", "on", "off")
+
+# Shipped default for the attention-backward saved-P route
+# (ops/flash_attention.SAVE_P); off until the on-chip probe picks it.
+_SHIPPED_ATTN_SAVE_P = False
 
 
-def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto"):
+def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     """Select the training-path kernel routes from config strings.
 
     Maps cfg.TRAIN.MLP_REMAT / cfg.TRAIN.LN_QKV onto the module globals:
@@ -189,15 +194,27 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto"):
     run config-driven trainings back to back without a previous run's
     explicit mode leaking in), "none" disables the route, any other value
     names a mode explicitly ("gelu", "gelu+ln", "kernel" for the MLP
-    branch; "kernel" for the pre-attention norm).
-    Returns the effective (MLP_REMAT, LN_QKV) pair so callers can log it.
+    branch; "kernel" for the pre-attention norm; "on"/"off" for the
+    attention saved-P backward, cfg.TRAIN.ATTN_SAVE_P).
+    Returns the effective (MLP_REMAT, LN_QKV, SAVE_P) triple so callers
+    can log it.
     """
+    import importlib
+
+    # ops/__init__ re-exports a function named flash_attention that shadows
+    # the submodule on attribute imports; resolve the module explicitly
+    fa = importlib.import_module(f"{__package__.rsplit('.', 1)[0]}"
+                                 ".ops.flash_attention")
+
     global MLP_REMAT, LN_QKV
     if mlp_remat not in _MLP_REMAT_CHOICES:
         raise ValueError(
             f"TRAIN.MLP_REMAT={mlp_remat!r} not in {_MLP_REMAT_CHOICES}")
     if ln_qkv not in _LN_QKV_CHOICES:
         raise ValueError(f"TRAIN.LN_QKV={ln_qkv!r} not in {_LN_QKV_CHOICES}")
+    if attn_save_p not in _ATTN_SAVE_P_CHOICES:
+        raise ValueError(
+            f"TRAIN.ATTN_SAVE_P={attn_save_p!r} not in {_ATTN_SAVE_P_CHOICES}")
     if mlp_remat == "auto":
         MLP_REMAT = _SHIPPED_MLP_REMAT
     else:
@@ -206,7 +223,11 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto"):
         LN_QKV = _SHIPPED_LN_QKV
     else:
         LN_QKV = None if ln_qkv == "none" else ln_qkv
-    return MLP_REMAT, LN_QKV
+    if attn_save_p == "auto":
+        fa.SAVE_P = _SHIPPED_ATTN_SAVE_P
+    else:
+        fa.SAVE_P = attn_save_p == "on"
+    return MLP_REMAT, LN_QKV, fa.SAVE_P
 
 
 def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
@@ -218,7 +239,8 @@ def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
     VJP instead of standalone XLA fusions.
     """
     from ..ops.attention import split_qkv
-    from ..ops.flash_attention import DEFAULT_BLOCK_Q, flash_attention_trainable
+    from ..ops.flash_attention import (SAVE_P, DEFAULT_BLOCK_Q,
+                                       flash_attention_trainable)
     from ..ops.fused_mlp import DEFAULT_BLOCK_R
     from ..ops.ln_linear import ln_linear
 
@@ -231,7 +253,8 @@ def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
                     bp["norm1"]["bias"], wqkv, bqkv, cfg.ln_eps,
                     DEFAULT_BLOCK_R, interpret).reshape(b, n, 3 * d)
     q, k, v = split_qkv(qkv, cfg.num_heads)
-    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
+    out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret,
+                                    SAVE_P)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
     proj = jnp.dot(out, bp["attn"]["wo"], preferred_element_type=jnp.float32)
     proj = proj + bp["attn"]["bo"].astype(jnp.float32)

@@ -164,6 +164,183 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool 
     return out[:, :n, :].reshape(b, h, n, d)
 
 
+# Training-path dispatch: save the forward's unnormalized softmax P (plus
+# 1/denom) instead of recomputing exp(s - lse) in the backward. The MIM
+# tail decomposition (BENCH.md) measured the attention backward
+# VPU-transcendental-bound — ~12 us of elementwise f32 passes (exp
+# recompute + dS assembly) against ~4.6 us of MXU dots per program — so
+# trading the exp pass for a cheap row-broadcast multiply (e = P * inv)
+# plus one HBM round-trip of P (~1.4 MB/program, far below the kernel's
+# bandwidth headroom) and dropping the s-recompute dot is a net win on
+# paper; tools/probe_fused_mlp.py's "+savep" variants measure it on chip.
+# Off by default until the probe picks it (set via
+# models/vit.set_train_kernel_modes / cfg.TRAIN.ATTN_SAVE_P).
+SAVE_P = False
+
+
+def _attn_fwd_savep_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, inv_ref,
+                           p_ref, *, d: int):
+    """Forward that also writes P = exp(s - m) (compute dtype) and
+    inv = 1/denom (f32), so the backward needs no transcendentals:
+    the true probabilities are P * inv exactly (softmax shift invariance)."""
+    q = q_ref[0]
+    kt = kt_ref[0]
+    ve = ve_ref[0]
+    s = jax.lax.dot_general(
+        q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bias_ref[:]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m).astype(ve.dtype)
+    p_ref[0] = p
+    oe = jax.lax.dot_general(
+        p, ve, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    denom = oe[:, d : d + 1]
+    o_ref[0] = (oe[:, :d] / denom).astype(o_ref.dtype)
+    inv_ref[0] = 1.0 / denom
+
+
+def _flash_fwd_savep(q, k, v, block_q: int, interpret: bool):
+    """Returns (out (BH, Npq, d), inv (BH, Npq, 1) f32, p (BH, Npq, Np)).
+
+    Same folding/padding as _flash_fwd; the extra P store is the price the
+    backward no longer pays in exp recompute."""
+    b, h, n, d = q.shape
+    scale = d**-0.5
+    np_ = _round_up(n, 128)
+    bq = _pick_block_q(block_q, n, np_)
+    nq = pl.cdiv(n, bq)
+    np_q = nq * bq
+
+    qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
+    ktf = jnp.swapaxes(_fold(k, b, h, n, d, np_), 1, 2)
+    vf = _fold(v, b, h, n, d, np_)
+    ones = jnp.concatenate(
+        [jnp.ones((b * h, np_, 1), vf.dtype), jnp.zeros((b * h, np_, d - 1), vf.dtype)], axis=-1
+    )
+    vef = jnp.concatenate([vf, ones], axis=-1)
+    bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
+
+    out, inv, p = pl.pallas_call(
+        functools.partial(_attn_fwd_savep_kernel, d=d),
+        grid=(b * h, nq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, np_), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, np_), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, np_), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, np_q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, np_q, np_), q.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d,
+            bytes_accessed=b * h * ((np_q + 3 * np_) * d * 2 + np_q * np_) * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+        interpret=interpret,
+    )(qf, ktf, vef, bias)
+    return out, inv, p
+
+
+def _attn_bwd_savep_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, p_ref, inv_ref,
+                           dq_ref, dk_ref, dv_ref):
+    """Backward with the forward's P resident: e = P * inv reproduces the
+    softmax probabilities with one row-broadcast multiply (no exp, no
+    s-recompute dot, no bias/lse bookkeeping). Padded key columns carry
+    P == 0 exactly (masked in the forward) and padded q rows carry dO == 0,
+    so every pad contribution is exactly zero without masking."""
+    j = pl.program_id(1)
+    q = q_ref[0]  # pre-scaled
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    o = o_ref[0]
+
+    e = p_ref[0].astype(jnp.float32) * inv_ref[0]  # (bq, Np) true probs
+    pt = e.astype(v.dtype)  # bf16 operand for the dv dot
+    dcap = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = (e * (dp - dcap)).astype(v.dtype)
+
+    dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dv_blk = jax.lax.dot_general(pt, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[0] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(j != 0)
+    def _():
+        dk_ref[0] = dk_ref[0] + dk_blk.astype(dk_ref.dtype)
+        dv_ref[0] = dv_ref[0] + dv_blk.astype(dv_ref.dtype)
+
+
+def _flash_bwd_savep_impl(q, k, v, o, p, inv, do, block_q, interpret):
+    """p: (BH, Npq, Np) and inv: (BH, Npq, 1) exactly as _flash_fwd_savep
+    produced them (same block_q -> same bq layout)."""
+    b, h, n, d = q.shape
+    scale = d**-0.5
+    np_ = _round_up(n, 128)
+    bq = _pick_block_q(block_q, n, np_)
+    nq = pl.cdiv(n, bq)
+    np_q = nq * bq
+
+    qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
+    dof = _fold(do, b, h, n, d, np_q)
+    of = _fold(o, b, h, n, d, np_q)
+    kf = _fold(k, b, h, n, d, np_)
+    vf = _fold(v, b, h, n, d, np_)
+
+    blk_q = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    blk_kv = pl.BlockSpec((1, np_, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+    blk_p = pl.BlockSpec((1, bq, np_), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    blk_inv = pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    dq, dk, dv = pl.pallas_call(
+        _attn_bwd_savep_kernel,
+        grid=(b * h, nq),
+        in_specs=[blk_q, blk_kv, blk_kv, blk_q, blk_q, blk_p, blk_inv],
+        out_specs=(blk_q, blk_kv, blk_kv),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, np_, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, np_, d), v.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * n * n * d,
+            bytes_accessed=b * h * ((3 * np_q + 4 * np_) * d + np_q * np_) * q.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(qf, kf, vf, dof, of, p, inv)
+
+    unfold = lambda x, nn: x[:, :nn, :].reshape(b, h, nn, d)
+    dq = unfold(dq, n)
+    dq = (dq.astype(jnp.float32) * scale).astype(q.dtype)
+    return dq, unfold(dk, n), unfold(dv, n)
+
+
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, bias_ref,
                      dq_ref, dk_ref, dv_ref):
     """Backward for one q block with full K/V resident: recomputes the
@@ -258,22 +435,36 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret):
     return dq, unfold(dk, n), unfold(dv, n)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_trainable(q, k, v, block_q: int = DEFAULT_BLOCK_Q, interpret: bool = False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_attention_trainable(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
+                              interpret: bool = False, save_p: bool = False):
     """Differentiable flash attention: Pallas forward AND backward kernels
-    (no N^2 HBM traffic in either direction). Drop-in for the training path."""
+    (no N^2 HBM traffic in either direction). Drop-in for the training path.
+
+    save_p=True saves the forward's unnormalized P (+ 1/denom) so the
+    backward runs transcendental-free (see SAVE_P above) — P does
+    round-trip HBM, trading bandwidth (cheap here) for VPU exp (the
+    measured bottleneck). Numerics: identical math; in bf16 the saved P
+    carries one extra bf16 rounding vs the f32 exp recompute."""
     return flash_attention(q, k, v, block_q=block_q, interpret=interpret)
 
 
-def _fa_fwd(q, k, v, block_q, interpret):
+def _fa_fwd(q, k, v, block_q, interpret, save_p):
     b, h, n, d = q.shape
+    if save_p:
+        out, inv, p = _flash_fwd_savep(q, k, v, block_q, interpret)
+        o = out[:, :n, :].reshape(b, h, n, d)
+        return o, (q, k, v, o, p, inv)
     out, lse = _flash_fwd(q, k, v, block_q, interpret, want_lse=True)
     o = out[:, :n, :].reshape(b, h, n, d)
-    return o, (q, k, v, o, lse)
+    return o, (q, k, v, o, lse, None)
 
 
-def _fa_bwd(block_q, interpret, res, do):
-    q, k, v, o, lse = res
+def _fa_bwd(block_q, interpret, save_p, res, do):
+    if save_p:
+        q, k, v, o, p, inv = res
+        return _flash_bwd_savep_impl(q, k, v, o, p, inv, do, block_q, interpret)
+    q, k, v, o, lse, _ = res
     return _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret)
 
 
@@ -507,7 +698,8 @@ def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
         if "bqkv" in params:
             qkv = qkv + params["bqkv"].astype(x.dtype)
         q, k, v = split_qkv(qkv, num_heads)
-        out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret)
+        out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret,
+                                        SAVE_P)
         out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
         proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
         proj = proj.astype(x.dtype)

@@ -94,8 +94,10 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     from ..models import vit as vit_mod
 
     eff = vit_mod.set_train_kernel_modes(
-        cfg.TRAIN.get("MLP_REMAT", "auto"), cfg.TRAIN.get("LN_QKV", "auto"))
-    logger.info(f"train kernel routes: MLP_REMAT={eff[0]} LN_QKV={eff[1]}")
+        cfg.TRAIN.get("MLP_REMAT", "auto"), cfg.TRAIN.get("LN_QKV", "auto"),
+        cfg.TRAIN.get("ATTN_SAVE_P", "auto"))
+    logger.info(f"train kernel routes: MLP_REMAT={eff[0]} LN_QKV={eff[1]} "
+                f"ATTN_SAVE_P={eff[2]}")
 
     vit_cfg = simmim.mim_vit_config(cfg.DATA.IMG_SIZE, cfg.MODEL.PATCH_SIZE)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(cfg.SEED))

@@ -151,6 +151,7 @@ def default_config() -> CfgNode:
                 # set_train_kernel_modes. "auto" = measured-best default.
                 "MLP_REMAT": "auto",
                 "LN_QKV": "auto",
+                "ATTN_SAVE_P": "auto",
                 "LR_SCHEDULER": {
                     "NAME": "cosine",
                     "DECAY_EPOCHS": 30,
