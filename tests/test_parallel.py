@@ -213,11 +213,16 @@ def test_mha_flash_dp_matches_single_device():
         np.testing.assert_allclose(np.asarray(g), np.asarray(a), atol=1e-5)
 
 
-def _run_kernel_route_step(ln_qkv_mode):
+def _run_kernel_route_step(ln_qkv_mode, save_p=False):
     """One MIM train step with the Pallas training routes engaged in
     interpret mode, on 1 device and on the 8-way dp mesh; returns both."""
+    import importlib
+
     from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
     from vit_ocm_wmsegmentation_tpu.ops import attention as att_mod
+
+    fa_mod = importlib.import_module(
+        "vit_ocm_wmsegmentation_tpu.ops.flash_attention")
 
     cfg = default_config()
     params = simmim.init(CFG, jax.random.PRNGKey(7))
@@ -227,11 +232,12 @@ def _run_kernel_route_step(ln_qkv_mode):
     mask = jnp.asarray((rng.random((8, 4, 4)) > 0.5).astype(np.int32))
 
     saved = (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
-             att_mod.DP_KERNEL_INTERPRET)
+             att_mod.DP_KERNEL_INTERPRET, fa_mod.SAVE_P)
     vit_mod.MLP_REMAT = "kernel"
     vit_mod.LN_QKV = ln_qkv_mode
     vit_mod.FUSED_MLP_INTERPRET = True
     att_mod.DP_KERNEL_INTERPRET = True
+    fa_mod.SAVE_P = save_p
     try:
         step1 = make_train_step(CFG, tx)
         r1 = step1(jax.tree.map(jnp.copy, params), tx.init(params), x, mask)
@@ -246,7 +252,7 @@ def _run_kernel_route_step(ln_qkv_mode):
                    jax.device_put(mask, bsh))
     finally:
         (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
-         att_mod.DP_KERNEL_INTERPRET) = saved
+         att_mod.DP_KERNEL_INTERPRET, fa_mod.SAVE_P) = saved
     return r1, r8
 
 
@@ -267,6 +273,18 @@ def test_dp_train_step_flash_attention_route():
     VJPs per shard); single device -> the XLA reference path. Equality
     also cross-checks the kernel numerics against XLA in the full step."""
     (p1, _, l1, g1), (p8, _, l8, g8) = _run_kernel_route_step(None)
+    np.testing.assert_allclose(float(l8), float(l1), atol=1e-5)
+    np.testing.assert_allclose(float(g8), float(g1), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_dp_train_step_savep_route():
+    """Same dp-mesh step with ATTN_SAVE_P on: attention's saved-P backward
+    runs inside the shard_map island per shard (mha_flash reads
+    flash_attention.SAVE_P at trace time); loss / grad-norm / params must
+    equal the single-device step like the other kernel routes."""
+    (p1, _, l1, g1), (p8, _, l8, g8) = _run_kernel_route_step(None, save_p=True)
     np.testing.assert_allclose(float(l8), float(l1), atol=1e-5)
     np.testing.assert_allclose(float(g8), float(g1), atol=1e-4)
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
