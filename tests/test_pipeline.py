@@ -191,6 +191,21 @@ def test_segment_mosaic_streamed_matches_fused():
         np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
 
 
+def test_segment_mosaic_streamed_band_chunk_bit_equal():
+    """band_chunk=K (K tile rows per dispatch, in-graph fori_loop) performs
+    the same per-band overlap-adds in the same order — mask AND attention
+    canvas bit-equal to the per-band loop, including a ragged tail chunk."""
+    params = _params()
+    img = _mosaic(7)  # 7 bands with WINDOW/STRIDE; chunk 3 -> 3+3+1 tail
+    want_mask, want_attn = pl.segment_mosaic_streamed(params, CFG, img,
+                                                      WINDOW, STRIDE)
+    got_mask, got_attn = pl.segment_mosaic_streamed(params, CFG, img,
+                                                    WINDOW, STRIDE,
+                                                    band_chunk=3)
+    np.testing.assert_array_equal(np.asarray(got_attn), np.asarray(want_attn))
+    np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
+
+
 def test_segment_mosaic_streamed_odd_size_pads():
     params = _params()
     rng = np.random.default_rng(9)

@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--size", type=int, default=32768)
     ap.add_argument("--preview", type=int, default=1)
     ap.add_argument("--no_progress", action="store_true", help="single-dispatch fori_loop band sweep")
+    ap.add_argument("--band_chunk", type=int, default=1,
+                    help="tile rows per dispatch (cuts relay round trips "
+                         "K-fold; the all-bands sweep crashed the worker)")
     args = ap.parse_args()
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
@@ -97,7 +100,8 @@ def main():
     t0 = time.time()
     mask, attn = pl.segment_mosaic_streamed(
         params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
-        progress=None if args.no_progress else progress)
+        progress=None if args.no_progress else progress,
+        band_chunk=args.band_chunk)
     # scalar sync: all chained band dispatches + threshold truly executed
     fg = float((mask > 0).astype(jnp.float32).mean())
     t_seg = time.time() - t0

@@ -246,6 +246,25 @@ def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride, median_s
                              stride, median_size, dtype)
 
 
+@partial(jax.jit, donate_argnums=(3,),
+         static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
+def _band_update_chunk(params, cfg, img_dev, acc, y0s, wy_rows, window,
+                       stride, median_size, dtype):
+    """K bands in ONE dispatch (bounded fori_loop over the chunk's band
+    index). Middle ground between the per-band python loop (254 dispatches
+    at 1.07 GP, ~0.6 ms/tile of relay queueing) and the experimental
+    all-bands fori_loop that crashed the TPU worker at 254 iterations —
+    the chunk size divides the dispatch count by K while keeping each
+    graph's trip count small. Chunk size is carried by y0s' static shape,
+    so all full chunks share one compilation (+1 for a ragged tail)."""
+
+    def body(i, a):
+        return _band_update_impl(params, cfg, img_dev, a, y0s[i], wy_rows[i],
+                                 window, stride, median_size, dtype)
+
+    return jax.lax.fori_loop(0, y0s.shape[0], body, acc)
+
+
 def _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window, stride,
                       median_size, dtype):
     """Process ONE row of tiles starting at mosaic row y0 and overlap-add its
@@ -274,7 +293,8 @@ def _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window, stride,
 
 def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
                             median_size=1, dtype=jnp.float32, exact_stitch=False,
-                            progress=None, single_dispatch=False):
+                            progress=None, single_dispatch=False,
+                            band_chunk=1):
     """Gigapixel-capable segment_mosaic: identical numbers, bounded memory.
 
     segment_mosaic materializes the full (T, window, window) per-tile
@@ -286,6 +306,8 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
     band remains the data-parallel shard axis.
 
     img_u8 may be a host numpy array (uploaded once) or a device array.
+    band_chunk=K groups K tile rows into one dispatch (see
+    _band_update_chunk) — numbers identical, K fewer relay round trips.
     Returns (mask_u8 (H, W) {0,255} device array, attention (H, W) f32
     device array).
     """
@@ -307,6 +329,14 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
         # current runtime — hence opt-in, default off.
         acc = _band_sweep(params, cfg, padded, acc, ys_dev, wy_dev,
                           window, stride, median_size, dtype)
+    elif band_chunk > 1:
+        for c0 in range(0, len(ys), band_chunk):
+            c1 = min(c0 + band_chunk, len(ys))
+            acc = _band_update_chunk(params, cfg, padded, acc,
+                                     ys_dev[c0:c1], wy_dev[c0:c1],
+                                     window, stride, median_size, dtype)
+            if progress is not None:
+                progress(c1, len(ys))
     else:
         for r in range(len(ys)):
             acc = _band_update(params, cfg, padded, acc, ys_dev[r],
