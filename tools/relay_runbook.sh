@@ -42,6 +42,13 @@ echo "== chip_sanity $(date -u)" > /tmp/chip_sanity.log
 python tools/chip_sanity.py check >> /tmp/chip_sanity.log 2>&1
 echo "EXIT:$?" >> /tmp/chip_sanity.log
 
+# band_chunk A/B at a moderate size (62 bands, ~11 s of compute each):
+# measures the per-dispatch relay share the chunked sweep removes
+echo "== gigapixel band_chunk A/B $(date -u)" > /tmp/band_chunk.log
+python tools/bench_gigapixel.py --size 8192 --preview 0 >> /tmp/band_chunk.log 2>&1
+python tools/bench_gigapixel.py --size 8192 --preview 0 --band_chunk 8 >> /tmp/band_chunk.log 2>&1
+echo "EXIT:$?" >> /tmp/band_chunk.log
+
 echo "== bench $(date -u)" > /tmp/bench_relay.log
 python bench.py >> /tmp/bench_relay.log 2>&1
 echo "EXIT:$?" >> /tmp/bench_relay.log
