@@ -93,7 +93,7 @@ def test_flash_auto_blockq_both_paths(monkeypatch):
     assert fa._pick_block_q(0, 150, 256) == 256  # min(1216, np_)
     # call the unjitted internal: the jitted wrapper would replay its cached
     # trace (same shapes + statics) and never re-read the budget
-    out, _ = fa._flash_fwd(q, k, v, 0, True, False)
+    out, _, _ = fa._flash_fwd(q, k, v, 0, True, False)
     got_blocked = out[:, :150, :].reshape(q.shape)
     np.testing.assert_allclose(np.asarray(got_blocked), np.asarray(want), atol=2e-5)
 

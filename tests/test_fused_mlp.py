@@ -95,10 +95,7 @@ def test_set_train_kernel_modes_config_knob(monkeypatch):
     """cfg.TRAIN.MLP_REMAT / LN_QKV select the module routes; 'auto'
     RESTORES the shipped defaults (a previous run's explicit mode must not
     leak into the next config-driven run); bad values raise."""
-    import importlib
-
-    # the function re-export shadows the submodule on attribute imports
-    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
 
     monkeypatch.setattr(vit_mod, "_SHIPPED_MLP_REMAT", "gelu")
     monkeypatch.setattr(vit_mod, "_SHIPPED_LN_QKV", None)
@@ -161,9 +158,7 @@ def test_mim_step_savep_route_matches_stock(monkeypatch):
     """ATTN_SAVE_P through the whole MIM loss (the lnqkv interpret route is
     the CPU path that reaches flash_attention_trainable): loss and grads
     must match the stock autodiff graph."""
-    import importlib
-
-    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
 
     monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
     cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,

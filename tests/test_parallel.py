@@ -216,13 +216,9 @@ def test_mha_flash_dp_matches_single_device():
 def _run_kernel_route_step(ln_qkv_mode, save_p=False):
     """One MIM train step with the Pallas training routes engaged in
     interpret mode, on 1 device and on the 8-way dp mesh; returns both."""
-    import importlib
-
     from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
     from vit_ocm_wmsegmentation_tpu.ops import attention as att_mod
-
-    fa_mod = importlib.import_module(
-        "vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa_mod
 
     cfg = default_config()
     params = simmim.init(CFG, jax.random.PRNGKey(7))

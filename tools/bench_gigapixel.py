@@ -59,7 +59,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=32768)
     ap.add_argument("--preview", type=int, default=1)
-    ap.add_argument("--no_progress", action="store_true", help="single-dispatch fori_loop band sweep")
+    ap.add_argument("--no_progress", action="store_true",
+                    help="disable per-band progress prints")
+    ap.add_argument("--single_dispatch", action="store_true",
+                    help="all bands in one fori_loop dispatch (experimental: "
+                         "crashed the TPU worker at 254 bands)")
     ap.add_argument("--band_chunk", type=int, default=1,
                     help="tile rows per dispatch (cuts relay round trips "
                          "K-fold; the all-bands sweep crashed the worker)")
@@ -101,7 +105,7 @@ def main():
     mask, attn = pl.segment_mosaic_streamed(
         params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
         progress=None if args.no_progress else progress,
-        band_chunk=args.band_chunk)
+        single_dispatch=args.single_dispatch, band_chunk=args.band_chunk)
     # scalar sync: all chained band dispatches + threshold truly executed
     fg = float((mask > 0).astype(jnp.float32).mean())
     t_seg = time.time() - t0

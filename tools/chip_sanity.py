@@ -61,16 +61,13 @@ RTOL = 2e-4
 
 
 def step_numbers(mlp_remat, ln_qkv, save_p=False):
-    import importlib
-
     from vit_ocm_wmsegmentation_tpu.models import simmim
     from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
     from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+    from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
     from vit_ocm_wmsegmentation_tpu.train.mim_trainer import make_train_step
     from vit_ocm_wmsegmentation_tpu.train.optim import build_optimizer
     from vit_ocm_wmsegmentation_tpu.utils.config import default_config
-
-    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
     saved = (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
              fa.SAVE_P)
     vit_mod.MLP_REMAT, vit_mod.LN_QKV = mlp_remat, ln_qkv

@@ -74,9 +74,7 @@ def fit(name, fn, x0_factory, ns):
 
 
 def probe(variant):
-    import importlib
-
-    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
 
     mode = variant
     vit_mod.LN_QKV = None

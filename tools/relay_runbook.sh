@@ -46,8 +46,9 @@ echo "EXIT:$?" >> /tmp/chip_sanity.log
 # measures the per-dispatch relay share the chunked sweep removes
 echo "== gigapixel band_chunk A/B $(date -u)" > /tmp/band_chunk.log
 python tools/bench_gigapixel.py --size 8192 --preview 0 >> /tmp/band_chunk.log 2>&1
+echo "EXIT_A:$?" >> /tmp/band_chunk.log
 python tools/bench_gigapixel.py --size 8192 --preview 0 --band_chunk 8 >> /tmp/band_chunk.log 2>&1
-echo "EXIT:$?" >> /tmp/band_chunk.log
+echo "EXIT_B:$?" >> /tmp/band_chunk.log
 
 echo "== bench $(date -u)" > /tmp/bench_relay.log
 python bench.py >> /tmp/bench_relay.log 2>&1

@@ -199,12 +199,7 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     Returns the effective (MLP_REMAT, LN_QKV, SAVE_P) triple so callers
     can log it.
     """
-    import importlib
-
-    # ops/__init__ re-exports a function named flash_attention that shadows
-    # the submodule on attribute imports; resolve the module explicitly
-    fa = importlib.import_module(f"{__package__.rsplit('.', 1)[0]}"
-                                 ".ops.flash_attention")
+    from ..ops import flash_attention_mod as fa
 
     global MLP_REMAT, LN_QKV
     if mlp_remat not in _MLP_REMAT_CHOICES:

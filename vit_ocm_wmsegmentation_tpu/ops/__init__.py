@@ -8,6 +8,10 @@ into a single XLA graph on TPU.
 
 from .attention import cls_row_attention, mha, mha_auto, mha_fused
 from . import chan_vese  # module, not the function: keeps `ops.chan_vese.chan_vese` importable
+# the flash_attention FUNCTION re-export below shadows its submodule on
+# attribute imports; this alias is the supported way to reach the module's
+# mutable route knobs (SAVE_P) without an importlib dance
+from . import flash_attention as flash_attention_mod
 from .clahe import adaptive_histogram_equalization
 from .cluster import kmeans2, kmeans_feature_mask, kmeans_mask_image, kmeans_mask_ours
 from .filters import median_filter

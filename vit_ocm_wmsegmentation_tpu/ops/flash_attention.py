@@ -54,16 +54,25 @@ DEFAULT_BLOCK_Q = 0  # 0 = auto: one q block of round_up(N, 8) rows when the
 _AUTO_VMEM_S_BYTES = 40 * 1024 * 1024
 
 
-def _pick_block_q(block_q: int, n: int, np_: int) -> int:
+def _pick_block_q(block_q: int, n: int, np_: int, *, save_p: bool = False,
+                  itemsize: int = 4) -> int:
     if block_q:
         return min(block_q, np_)
     bq = _round_up(n, 8)
-    if bq * np_ * 4 <= _AUTO_VMEM_S_BYTES:
+    # the auto pick budgets the (bq, Np) working set per program: the f32
+    # scores alone on the lse route; on the savep route also the P block
+    # (in fwd out / bwd in, `itemsize` bytes) and its f32 value — without
+    # this a shape whose scores fit would exceed the 100 MB vmem limit
+    # only when save_p is on. fwd and bwd call with identical arguments so
+    # the saved P's block layout always matches.
+    per_elem = 4 + (4 + 2 * itemsize if save_p else 0)
+    if bq * np_ * per_elem <= _AUTO_VMEM_S_BYTES:
         return bq
     return min(1216, np_)
 
 
-def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, lse_ref=None, *, d: int):
+def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, aux_ref=None,
+                     p_ref=None, *, d: int):
     # inputs stay in their storage dtype (bf16 on the hot path) — the MXU
     # takes bf16 operands at full rate and accumulates in f32; upcasting
     # first would force a ~4x slower f32 matmul. q arrives pre-scaled.
@@ -77,14 +86,17 @@ def _attn_fwd_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, lse_ref=None, *, d:
     ) + bias_ref[:]  # bias: 0 on valid keys, -1e30 on padded columns
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m).astype(ve.dtype)  # single pass, bf16 write
+    if p_ref is not None:  # savep residual: the backward reads P back
+        p_ref[0] = p
     oe = jax.lax.dot_general(
         p, ve, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (bq, 2d): [:, :d] = o*denom, [:, d] = denom
     denom = oe[:, d : d + 1]
     o_ref[0] = (oe[:, :d] / denom).astype(o_ref.dtype)
-    if lse_ref is not None:  # training residual; the lane-1 write costs ~15%
-        lse_ref[0] = m + jnp.log(denom)
+    if aux_ref is not None:  # training residual; the lane-1 write costs ~15%
+        # lse-route: logsumexp; savep-route: 1/denom (P * inv == softmax)
+        aux_ref[0] = 1.0 / denom if p_ref is not None else m + jnp.log(denom)
 
 
 def _round_up(x, m):
@@ -96,17 +108,21 @@ def _fold(x, b, h, n, d, pad_to):
     return jnp.pad(x, ((0, 0), (0, pad_to - n), (0, 0)))
 
 
-def _flash_fwd(q, k, v, block_q: int, interpret: bool, want_lse: bool):
-    """Returns (out (B,h,N,d), lse (BH, Npq, 1) f32 or None).
+def _flash_fwd(q, k, v, block_q: int, interpret: bool, want_lse: bool,
+               want_p: bool = False):
+    """Returns (out (BH, Npq, d), aux (BH, Npq, 1) f32 or None,
+    p (BH, Npq, Np) or None).
 
-    The lse output exists only on the training path: its (bq, 1) block
-    occupies one lane of the (8, 128) VMEM tile, a pathologically padded
-    write that costs ~15% of the kernel — inference skips it.
+    aux exists only on the training paths: logsumexp on the lse route,
+    1/denom when want_p (its (bq, 1) block occupies one lane of the
+    (8, 128) VMEM tile, a pathologically padded write that costs ~15% of
+    the kernel — inference skips it). want_p additionally writes the
+    unnormalized P so the backward runs transcendental-free.
     """
     b, h, n, d = q.shape
     scale = d**-0.5
     np_ = _round_up(n, 128)
-    bq = _pick_block_q(block_q, n, np_)
+    bq = _pick_block_q(block_q, n, np_, save_p=want_p, itemsize=q.dtype.itemsize)
     nq = pl.cdiv(n, bq)
     np_q = nq * bq
 
@@ -121,9 +137,13 @@ def _flash_fwd(q, k, v, block_q: int, interpret: bool, want_lse: bool):
 
     out_specs = [pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype)]
-    if want_lse:
+    if want_lse or want_p:
         out_specs.append(pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM))
         out_shape.append(jax.ShapeDtypeStruct((b * h, np_q, 1), jnp.float32))
+    if want_p:
+        out_specs.append(pl.BlockSpec((1, bq, np_), lambda i, j: (i, j, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b * h, np_q, np_), q.dtype))
 
     res = pl.pallas_call(
         functools.partial(_attn_fwd_kernel, d=d),
@@ -142,14 +162,18 @@ def _flash_fwd(q, k, v, block_q: int, interpret: bool, want_lse: bool):
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * n * n * d,
-            bytes_accessed=b * h * (np_q + 3 * np_) * d * q.dtype.itemsize * 2,
+            bytes_accessed=b * h * ((np_q + 3 * np_) * d * 2
+                                    + (np_q * np_ if want_p else 0))
+            * q.dtype.itemsize,
             transcendentals=b * h * n * n,
         ),
         interpret=interpret,
     )(qf, ktf, vef, bias)
+    if want_p:
+        return res[0], res[1], res[2]
     if want_lse:
-        return res[0], res[1]
-    return res[0], None
+        return res[0], res[1], None
+    return res[0], None, None
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "interpret"))
@@ -160,7 +184,7 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool 
     tested in both interpret (CPU) and compiled (TPU) modes.
     """
     b, h, n, d = q.shape
-    out, _ = _flash_fwd(q, k, v, block_q, interpret, want_lse=False)
+    out, _, _ = _flash_fwd(q, k, v, block_q, interpret, want_lse=False)
     return out[:, :n, :].reshape(b, h, n, d)
 
 
@@ -176,84 +200,6 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool 
 # Off by default until the probe picks it (set via
 # models/vit.set_train_kernel_modes / cfg.TRAIN.ATTN_SAVE_P).
 SAVE_P = False
-
-
-def _attn_fwd_savep_kernel(q_ref, kt_ref, ve_ref, bias_ref, o_ref, inv_ref,
-                           p_ref, *, d: int):
-    """Forward that also writes P = exp(s - m) (compute dtype) and
-    inv = 1/denom (f32), so the backward needs no transcendentals:
-    the true probabilities are P * inv exactly (softmax shift invariance)."""
-    q = q_ref[0]
-    kt = kt_ref[0]
-    ve = ve_ref[0]
-    s = jax.lax.dot_general(
-        q, kt, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bias_ref[:]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m).astype(ve.dtype)
-    p_ref[0] = p
-    oe = jax.lax.dot_general(
-        p, ve, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    denom = oe[:, d : d + 1]
-    o_ref[0] = (oe[:, :d] / denom).astype(o_ref.dtype)
-    inv_ref[0] = 1.0 / denom
-
-
-def _flash_fwd_savep(q, k, v, block_q: int, interpret: bool):
-    """Returns (out (BH, Npq, d), inv (BH, Npq, 1) f32, p (BH, Npq, Np)).
-
-    Same folding/padding as _flash_fwd; the extra P store is the price the
-    backward no longer pays in exp recompute."""
-    b, h, n, d = q.shape
-    scale = d**-0.5
-    np_ = _round_up(n, 128)
-    bq = _pick_block_q(block_q, n, np_)
-    nq = pl.cdiv(n, bq)
-    np_q = nq * bq
-
-    qf = _fold((q.astype(jnp.float32) * scale).astype(q.dtype), b, h, n, d, np_q)
-    ktf = jnp.swapaxes(_fold(k, b, h, n, d, np_), 1, 2)
-    vf = _fold(v, b, h, n, d, np_)
-    ones = jnp.concatenate(
-        [jnp.ones((b * h, np_, 1), vf.dtype), jnp.zeros((b * h, np_, d - 1), vf.dtype)], axis=-1
-    )
-    vef = jnp.concatenate([vf, ones], axis=-1)
-    bias = jnp.where(jnp.arange(np_) < n, 0.0, -1e30).astype(jnp.float32)[None, :]
-
-    out, inv, p = pl.pallas_call(
-        functools.partial(_attn_fwd_savep_kernel, d=d),
-        grid=(b * h, nq),
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, np_), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_, 2 * d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, np_), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bq, np_), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, np_q, d), q.dtype),
-            jax.ShapeDtypeStruct((b * h, np_q, 1), jnp.float32),
-            jax.ShapeDtypeStruct((b * h, np_q, np_), q.dtype),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel"),
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * n * n * d,
-            bytes_accessed=b * h * ((np_q + 3 * np_) * d * 2 + np_q * np_) * q.dtype.itemsize,
-            transcendentals=b * h * n * n,
-        ),
-        interpret=interpret,
-    )(qf, ktf, vef, bias)
-    return out, inv, p
 
 
 def _attn_bwd_savep_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, p_ref, inv_ref,
@@ -299,7 +245,8 @@ def _flash_bwd_savep_impl(q, k, v, o, p, inv, do, block_q, interpret):
     b, h, n, d = q.shape
     scale = d**-0.5
     np_ = _round_up(n, 128)
-    bq = _pick_block_q(block_q, n, np_)
+    # same save_p-aware pick as the forward, so p's block layout matches
+    bq = _pick_block_q(block_q, n, np_, save_p=True, itemsize=q.dtype.itemsize)
     nq = pl.cdiv(n, bq)
     np_q = nq * bq
 
@@ -438,24 +385,27 @@ def _flash_bwd_impl(q, k, v, o, lse, do, block_q, interpret):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention_trainable(q, k, v, block_q: int = DEFAULT_BLOCK_Q,
                               interpret: bool = False, save_p: bool = False):
-    """Differentiable flash attention: Pallas forward AND backward kernels
-    (no N^2 HBM traffic in either direction). Drop-in for the training path.
+    """Differentiable flash attention: Pallas forward AND backward kernels.
+    Drop-in for the training path. With save_p=False neither direction
+    moves N^2 HBM traffic (the backward recomputes exp(s - lse) in VMEM).
 
     save_p=True saves the forward's unnormalized P (+ 1/denom) so the
-    backward runs transcendental-free (see SAVE_P above) — P does
-    round-trip HBM, trading bandwidth (cheap here) for VPU exp (the
-    measured bottleneck). Numerics: identical math; in bf16 the saved P
-    carries one extra bf16 rounding vs the f32 exp recompute."""
+    backward runs transcendental-free (see SAVE_P above) — P DOES
+    round-trip HBM as an (BH, Npq, Np) residual per call, trading
+    bandwidth (cheap at MIM shapes) for VPU exp (the measured bottleneck).
+    Numerics: identical math; in bf16 the saved P carries one extra bf16
+    rounding vs the f32 exp recompute."""
     return flash_attention(q, k, v, block_q=block_q, interpret=interpret)
 
 
 def _fa_fwd(q, k, v, block_q, interpret, save_p):
     b, h, n, d = q.shape
     if save_p:
-        out, inv, p = _flash_fwd_savep(q, k, v, block_q, interpret)
+        out, inv, p = _flash_fwd(q, k, v, block_q, interpret,
+                                 want_lse=False, want_p=True)
         o = out[:, :n, :].reshape(b, h, n, d)
         return o, (q, k, v, o, p, inv)
-    out, lse = _flash_fwd(q, k, v, block_q, interpret, want_lse=True)
+    out, lse, _ = _flash_fwd(q, k, v, block_q, interpret, want_lse=True)
     o = out[:, :n, :].reshape(b, h, n, d)
     return o, (q, k, v, o, lse, None)
 

@@ -225,10 +225,14 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
          static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
 def _band_sweep(params, cfg, img_dev, acc, ys_dev, wy_dev, window, stride,
                 median_size, dtype):
-    """All tile-row bands in one compiled graph: fori_loop over the band
-    index with the f32 canvas as the (donated) carry. Same numbers as the
-    per-band dispatch loop; zero per-band host/dispatch overhead (measured
-    ~0.9 ms/tile of relay queueing across 254 chained band dispatches)."""
+    """A run of tile-row bands in one compiled graph: fori_loop over the
+    band index with the f32 canvas as the (donated) carry. Same numbers as
+    the per-band dispatch loop; zero per-band host/dispatch overhead
+    (measured ~0.9 ms/tile of relay queueing across 254 chained band
+    dispatches). Callers pass ALL bands (single_dispatch — crashed the TPU
+    worker at 254 iterations, opt-in) or a band_chunk=K slice (the middle
+    ground: K-fold fewer dispatches, small trip count per graph; all full
+    chunks share one compilation since K is carried by ys_dev's shape)."""
 
     def body(r, a):
         return _band_update_impl(params, cfg, img_dev, a, ys_dev[r],
@@ -246,23 +250,6 @@ def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride, median_s
                              stride, median_size, dtype)
 
 
-@partial(jax.jit, donate_argnums=(3,),
-         static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
-def _band_update_chunk(params, cfg, img_dev, acc, y0s, wy_rows, window,
-                       stride, median_size, dtype):
-    """K bands in ONE dispatch (bounded fori_loop over the chunk's band
-    index). Middle ground between the per-band python loop (254 dispatches
-    at 1.07 GP, ~0.6 ms/tile of relay queueing) and the experimental
-    all-bands fori_loop that crashed the TPU worker at 254 iterations —
-    the chunk size divides the dispatch count by K while keeping each
-    graph's trip count small. Chunk size is carried by y0s' static shape,
-    so all full chunks share one compilation (+1 for a ragged tail)."""
-
-    def body(i, a):
-        return _band_update_impl(params, cfg, img_dev, a, y0s[i], wy_rows[i],
-                                 window, stride, median_size, dtype)
-
-    return jax.lax.fori_loop(0, y0s.shape[0], body, acc)
 
 
 def _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window, stride,
@@ -332,9 +319,9 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
     elif band_chunk > 1:
         for c0 in range(0, len(ys), band_chunk):
             c1 = min(c0 + band_chunk, len(ys))
-            acc = _band_update_chunk(params, cfg, padded, acc,
-                                     ys_dev[c0:c1], wy_dev[c0:c1],
-                                     window, stride, median_size, dtype)
+            acc = _band_sweep(params, cfg, padded, acc,
+                              ys_dev[c0:c1], wy_dev[c0:c1],
+                              window, stride, median_size, dtype)
             if progress is not None:
                 progress(c1, len(ys))
     else:
