@@ -183,6 +183,17 @@ def test_mim_step_savep_route_matches_stock(monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-4 * scale)
 
+    # under whole-block remat (the 384² recipe) the savep forward is
+    # recomputed inside jax.checkpoint — P is produced and consumed within
+    # the backward, and gradients must be unchanged
+    def lossf_remat(p):
+        return simmim.mim_loss(p, cfg, x, mask, train=True, remat=True)[0]
+
+    l2, g2 = jax.value_and_grad(lossf_remat)(params)
+    assert float(l2) == pytest.approx(float(l1), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
 
 def test_mim_step_kernel_mode_matches_stock(monkeypatch):
     """MLP_REMAT='kernel' through the whole MIM loss (scan over blocks,
