@@ -6,7 +6,7 @@ errored or diverged from the baseline beyond the guard tolerance
 (suspected Mosaic miscompile — the Pallas routes only meet the real
 compiler on chip), and print the min-slope winner with the module defaults
 to flip (models/vit._SHIPPED_MLP_REMAT / _SHIPPED_LN_QKV /
-_SHIPPED_ATTN_SAVE_P) plus the implied MIM MFU for BENCH.md
+ops/flash_attention._SHIPPED_SAVE_P) plus the implied MIM MFU for BENCH.md
 (26.0% x 49.7 / slope, anchored to the r3 baseline measurement).
 
 Usage: python tools/analyze_probe.py [/tmp/probe_mlp.log]
@@ -90,7 +90,7 @@ def main():
           f"({BASELINE_MS / best[1]:.2f}x baseline, ~{mfu:.1f}% MFU)")
     print("ship:  models/vit._SHIPPED_MLP_REMAT =", repr(mlp))
     print("       models/vit._SHIPPED_LN_QKV   =", repr(ln_qkv))
-    print("       models/vit._SHIPPED_ATTN_SAVE_P =", save_p)
+    print("       ops/flash_attention._SHIPPED_SAVE_P =", save_p)
     if best[0] == "baseline":
         print("(baseline won — leave the shipped defaults as they are)")
     print("then: update BENCH.md's MIM row + fused-kernel paragraph and "

@@ -179,11 +179,9 @@ LN_QKV = _SHIPPED_LN_QKV
 
 _MLP_REMAT_CHOICES = ("auto", "none", "gelu", "gelu+ln", "kernel")
 _LN_QKV_CHOICES = ("auto", "none", "kernel")
+# the saved-P route's shipped default lives with its kernel:
+# ops/flash_attention._SHIPPED_SAVE_P (single source of truth)
 _ATTN_SAVE_P_CHOICES = ("auto", "on", "off")
-
-# Shipped default for the attention-backward saved-P route
-# (ops/flash_attention.SAVE_P); off until the on-chip probe picks it.
-_SHIPPED_ATTN_SAVE_P = False
 
 
 def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
@@ -219,7 +217,7 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     else:
         LN_QKV = None if ln_qkv == "none" else ln_qkv
     if attn_save_p == "auto":
-        fa.SAVE_P = _SHIPPED_ATTN_SAVE_P
+        fa.SAVE_P = fa._SHIPPED_SAVE_P
     else:
         fa.SAVE_P = attn_save_p == "on"
     return MLP_REMAT, LN_QKV, fa.SAVE_P

@@ -197,9 +197,12 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool 
 # plus one HBM round-trip of P (~1.4 MB/program, far below the kernel's
 # bandwidth headroom) and dropping the s-recompute dot is a net win on
 # paper; tools/probe_fused_mlp.py's "+savep" variants measure it on chip.
-# Off by default until the probe picks it (set via
-# models/vit.set_train_kernel_modes / cfg.TRAIN.ATTN_SAVE_P).
-SAVE_P = False
+# _SHIPPED_SAVE_P is the single source of truth for the measured default
+# (flip it here when the probe picks a winner); SAVE_P is the live route,
+# set via models/vit.set_train_kernel_modes / cfg.TRAIN.ATTN_SAVE_P
+# ("auto" restores the shipped value).
+_SHIPPED_SAVE_P = False
+SAVE_P = _SHIPPED_SAVE_P
 
 
 def _attn_bwd_savep_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, p_ref, inv_ref,
