@@ -312,3 +312,88 @@ def test_mosaic_inference_dp_kernel_route_odd_tiles():
     np.testing.assert_array_equal(np.asarray(got_mask), np.asarray(want_mask))
     np.testing.assert_allclose(np.asarray(got_attn), np.asarray(want_attn),
                                atol=5e-3)  # 0..255 scale
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism (parallel/pp.py): GPipe fill-drain over block stages
+# ---------------------------------------------------------------------------
+
+PP_CFG = ViTConfig(patch_size=8, embed_dim=32, depth=4, num_heads=2,
+                   pretrain_img_size=32)
+
+
+def _pp_setup(seed=7):
+    from vit_ocm_wmsegmentation_tpu.parallel import pp
+
+    params = simmim.init(PP_CFG, jax.random.PRNGKey(seed))
+    rng = np.random.default_rng(seed + 1)
+    x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((8, 4, 4)) > 0.5).astype(np.int32))
+    return pp, params, x, mask
+
+
+def test_pp_loss_and_grads_match_single_device():
+    """pp_mim_loss on a (data=2, pipe=4) mesh with 4 microbatches: the
+    GPipe schedule (scan + ppermute + psum broadcast) reproduces the
+    single-device loss, and reverse-mode AD through the pipeline gives the
+    same gradients for every stage's blocks and the replicated leaves."""
+    pp, params, x, mask = _pp_setup()
+    want_loss = simmim.mim_loss(params, PP_CFG, x, mask, train=True)[0]
+    g_want = jax.grad(
+        lambda p: simmim.mim_loss(p, PP_CFG, x, mask, train=True)[0])(params)
+
+    mesh = pp.make_pp_mesh(data=2, pipe=4)
+    ppp = shard_params(pp.pp_params(params, 4), pp.pp_param_sharding(
+        mesh, pp.pp_params(params, 4)))
+    got_loss = jax.jit(
+        lambda p: pp.pp_mim_loss(p, PP_CFG, x, mask, mesh, 4))(ppp)
+    np.testing.assert_allclose(float(got_loss), float(want_loss), atol=2e-6)
+
+    g_got = pp.unpp_params(jax.grad(
+        lambda p: pp.pp_mim_loss(p, PP_CFG, x, mask, mesh, 4))(ppp))
+    for a, b in zip(jax.tree.leaves(g_want), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_pp_train_step_matches_single_device():
+    """Full MIM step (fwd + bwd + clip + AdamW) pipelined over 4 stages x
+    dp 2 == the plain single-device make_train_step: loss, grad-norm and
+    every updated parameter."""
+    from vit_ocm_wmsegmentation_tpu.train.mim_trainer import make_train_step
+
+    pp, params, x, mask = _pp_setup(seed=11)
+    cfg = default_config()
+    tx1 = optim.build_optimizer(cfg, params, lambda t: 1e-3)
+    step1 = make_train_step(PP_CFG, tx1)
+    p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx1.init(params),
+                          x, mask)
+
+    mesh = pp.make_pp_mesh(data=2, pipe=4)
+    ppp = pp.pp_params(params, 4)
+    tx2 = optim.build_optimizer(cfg, ppp, lambda t: 1e-3)
+    pppd = shard_params(ppp, pp.pp_param_sharding(mesh, ppp))
+    step2 = pp.make_pp_train_step(PP_CFG, tx2, mesh, microbatches=4)
+    p2, _, l2, g2 = step2(pppd, tx2.init(pppd), x, mask)
+
+    np.testing.assert_allclose(float(l2), float(l1), atol=1e-5)
+    np.testing.assert_allclose(float(g2), float(g1), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pp.unpp_params(p2))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
+def test_pp_params_roundtrip_and_validation():
+    import pytest as _pytest
+
+    pp, params, _, _ = _pp_setup(seed=13)
+    ppp = pp.pp_params(params, 2)
+    wq = ppp["blocks"]["attn"]["wqkv"]
+    assert wq.shape[:2] == (2, 2)  # (stages, depth/stages)
+    back = pp.unpp_params(ppp)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    with _pytest.raises(ValueError):
+        pp.pp_params(params, 3)  # depth 4 % 3 != 0
+    mesh = pp.make_pp_mesh(data=2, pipe=4)
+    with _pytest.raises(ValueError):
+        pp.pp_run_blocks(pp.pp_params(params, 4)["blocks"], PP_CFG,
+                         jnp.zeros((7, 17, 32)), mesh, 3)  # 7 % 3 != 0

@@ -43,11 +43,12 @@ def init(cfg: ViTConfig, key, dtype=jnp.float32):
     return params
 
 
-def encode(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
-    """VisionTransformerForSimMIM.forward (model.py:25-53).
+def embed_tokens(params, cfg: ViTConfig, x, mask):
+    """encode's pre-block section (model.py:25-42): patchify, mask-token
+    substitution, CLS concat, pos-embed add. Returns (B, 1+gh*gw, D).
 
-    x: (B, H, W, 3) float; mask: (B, gh, gw) {0,1} token mask.
-    Returns the patch-token feature grid (B, gh, gw, D).
+    Factored out so the pipeline-parallel path (parallel/pp.py) can run
+    the block stack as a shard_map island between this and tokens_to_grid.
     """
     b, h, w, _ = x.shape
     patches = nn.patchify(x, cfg.patch_size)
@@ -61,19 +62,40 @@ def encode(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
     tok = jnp.concatenate([cls, tok], axis=1)
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     tok = tok + vit_mod.interpolate_pos_embed(params, cfg, (gh, gw)).astype(tok.dtype)
+    return tok
 
+
+def tokens_to_grid(params, cfg: ViTConfig, tok, gh: int, gw: int):
+    """encode's post-block section (model.py:43-53): final LayerNorm, drop
+    CLS, reshape to the (B, gh, gw, D) feature grid."""
+    tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
+    return tok[:, 1:, :].reshape(tok.shape[0], gh, gw, cfg.embed_dim)
+
+
+def encode(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
+    """VisionTransformerForSimMIM.forward (model.py:25-53).
+
+    x: (B, H, W, 3) float; mask: (B, gh, gw) {0,1} token mask.
+    Returns the patch-token feature grid (B, gh, gw, D).
+    """
+    _, h, w, _ = x.shape
+    tok = embed_tokens(params, cfg, x, mask)
     tok = vit_mod._scan_blocks(params, cfg, tok, 0, cfg.depth, impl="auto",
                                remat=remat, train=train)  # flash on TPU (custom VJP), chunked on CPU
-    tok = nn.layer_norm(params["norm"], tok, cfg.ln_eps)
-    return tok[:, 1:, :].reshape(b, gh, gw, cfg.embed_dim)
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    return tokens_to_grid(params, cfg, tok, gh, gw)
+
+
+def decode_grid(params, cfg: ViTConfig, z):
+    """PixelShuffle decoder: (B, gh, gw, D) feature grid -> (B, H, W, 3)."""
+    rec = jnp.dot(z, params["decoder"]["kernel"], preferred_element_type=jnp.float32)
+    rec = (rec + params["decoder"]["bias"].astype(jnp.float32)).astype(z.dtype)
+    return nn.pixel_shuffle(rec, cfg.patch_size)
 
 
 def reconstruct(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
     """Full MIM forward: encoder + PixelShuffle decoder -> (B, H, W, 3)."""
-    z = encode(params, cfg, x, mask, remat=remat, train=train)
-    rec = jnp.dot(z, params["decoder"]["kernel"], preferred_element_type=jnp.float32)
-    rec = (rec + params["decoder"]["bias"].astype(jnp.float32)).astype(z.dtype)
-    return nn.pixel_shuffle(rec, cfg.patch_size)
+    return decode_grid(params, cfg, encode(params, cfg, x, mask, remat=remat, train=train))
 
 
 def mim_loss(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
@@ -83,11 +105,16 @@ def mim_loss(params, cfg: ViTConfig, x, mask, *, remat=False, train=False):
     (TRAIN.USE_CHECKPOINT, config.py:111) — FLOPs for HBM.
     """
     x_rec = reconstruct(params, cfg, x, mask, remat=remat, train=train)
-    p = cfg.patch_size
+    loss, pix_mask = masked_l1(x, x_rec, mask, cfg.patch_size)
+    return loss, x_rec, pix_mask
+
+
+def masked_l1(x, x_rec, mask, p: int):
+    """model.py:71-77's loss reduction: (loss, pixel_mask)."""
     pix_mask = jnp.repeat(jnp.repeat(mask, p, axis=1), p, axis=2).astype(x.dtype)[..., None]
     l1 = jnp.abs(x - x_rec)
     # reduce in f32 regardless of compute dtype: a bf16 sum over B*H*W*3
     # elements loses mantissa long before the mean is formed (AMP path)
     loss = jnp.sum((l1 * pix_mask).astype(jnp.float32)) / (
         jnp.sum(pix_mask.astype(jnp.float32)) + 1e-5) / 3.0
-    return loss, x_rec, pix_mask
+    return loss, pix_mask

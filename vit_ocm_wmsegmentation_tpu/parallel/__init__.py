@@ -17,3 +17,10 @@ from .mesh import (
     replicated,
     vit_param_sharding,
 )
+
+# Pipeline parallelism lives in .pp — imported explicitly
+# (`from vit_ocm_wmsegmentation_tpu.parallel import pp`), NOT re-exported
+# here: pp pulls the models package, whose import touches the XLA backend,
+# and this package must stay importable BEFORE jax.distributed.initialize
+# (parallel.mesh.init_distributed is called by multi-process workers that
+# import nothing heavier than .mesh).
