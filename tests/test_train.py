@@ -376,3 +376,46 @@ def test_auto_resume_from_latest_checkpoint(tmp_path):
     finally:
         simmim_mod.mim_vit_config = orig
     assert len(history) == 1  # only epoch 1 ran
+
+
+def test_train_mim_pipeline_parallel_end_to_end(tmp_path):
+    """cfg.TRAIN.PP_STAGES routes train_mim through the GPipe step
+    (parallel/pp.py) on the 8-virtual-device ('data','pipe') mesh: the loop
+    trains, the checkpoint on disk is stage-agnostic (plain stacked-depth
+    blocks), and the returned params are plain layout."""
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(8):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.jpg")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SAVE_FREQ = 1
+    cfg.TRAIN.PP_STAGES = 2         # depth-2 tiny model -> 1 block/stage
+    cfg.TRAIN.PP_MICROBATCHES = 2   # batch 8 -> microbatch 4 = data axis 4
+
+    import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+
+    orig = simmim_mod.mim_vit_config
+    simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
+    )
+    try:
+        loader = build_simmim_loader(str(img_dir), batch_size=8, img_size=32,
+                                     mask_patch_size=8, model_patch_size=8,
+                                     mask_ratio=0.5)
+        params, history = train_mim(cfg, loader, eval_fn=None)
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert len(history) == 2 and np.isfinite(history).all()
+    # returned params are plain stacked-depth layout
+    assert params["blocks"]["attn"]["wqkv"].ndim == 3  # (depth, D, 3D)
+    assert params["blocks"]["attn"]["wqkv"].shape[0] == 2
+    # the on-disk checkpoint restores into a plain-layout template
+    from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt_mod
+
+    latest = ckpt_mod.latest_checkpoint(cfg.OUTPUT)
+    assert latest is not None
+    tmpl = {"params": jax.tree.map(np.zeros_like, params), "epoch": 0}
+    restored = ckpt_mod.restore_checkpoint(latest, tmpl)
+    assert restored["params"]["blocks"]["attn"]["wqkv"].shape[0] == 2

@@ -95,17 +95,25 @@ def pp_param_sharding(mesh: Mesh, params_pp):
     return out
 
 
-def pp_run_blocks(blocks_pp, cfg, tok, mesh: Mesh, microbatches: int):
+def pp_run_blocks(blocks_pp, cfg, tok, mesh: Mesh, microbatches: int,
+                  remat: bool = False):
     """Run the block stack as a GPipe pipeline: tok (B, Np, D) -> (B, Np, D).
 
     blocks_pp: the (stages, depth/stages, ...) block pytree. Differentiable;
-    call inside jit with the mesh's shardings on tok/blocks.
+    call inside jit with the mesh's shardings on tok/blocks. remat
+    rematerializes each stage's tick in the backward (TRAIN.USE_CHECKPOINT
+    semantics, per stage per microbatch instead of per block).
     """
     stages = dict(mesh.shape)["pipe"]
     m = microbatches
     b, np_, d = tok.shape
     if b % m:
         raise ValueError(f"batch {b} not divisible by microbatches {m}")
+    data = dict(mesh.shape).get("data", 1)
+    if (b // m) % data:
+        raise ValueError(
+            f"per-microbatch batch {b // m} not divisible by the mesh's "
+            f"data axis {data} (batch {b}, microbatches {m})")
     embeds = tok.reshape(m, b // m, np_, d)
     t_total = m + stages - 1
 
@@ -120,6 +128,9 @@ def pp_run_blocks(blocks_pp, cfg, tok, mesh: Mesh, microbatches: int):
                                               train=True), None
             y, _ = jax.lax.scan(body, xa, blocks_local)
             return y
+
+        if remat:
+            run_local = jax.checkpoint(run_local)
 
         def tick(carry, t):
             recv, out = carry
@@ -147,11 +158,13 @@ def pp_run_blocks(blocks_pp, cfg, tok, mesh: Mesh, microbatches: int):
     return out.reshape(b, np_, d)
 
 
-def pp_mim_loss(params_pp, cfg, x, mask, mesh: Mesh, microbatches: int):
+def pp_mim_loss(params_pp, cfg, x, mask, mesh: Mesh, microbatches: int,
+                remat: bool = False):
     """simmim.mim_loss with the block stack pipelined over 'pipe'."""
     _, h, w, _ = x.shape
     tok = simmim.embed_tokens(params_pp, cfg, x, mask)
-    tok = pp_run_blocks(params_pp["blocks"], cfg, tok, mesh, microbatches)
+    tok = pp_run_blocks(params_pp["blocks"], cfg, tok, mesh, microbatches,
+                        remat=remat)
     gh, gw = h // cfg.patch_size, w // cfg.patch_size
     z = simmim.tokens_to_grid(params_pp, cfg, tok, gh, gw)
     x_rec = simmim.decode_grid(params_pp, cfg, z)
@@ -160,7 +173,7 @@ def pp_mim_loss(params_pp, cfg, x, mask, mesh: Mesh, microbatches: int):
 
 
 def make_pp_train_step(vit_cfg, tx, mesh: Mesh, microbatches: int, *,
-                       amp: bool = False):
+                       remat: bool = False, amp: bool = False):
     """Pipeline-parallel twin of train.mim_trainer.make_train_step:
     (params_pp, opt_state, x, mask) -> (params_pp, opt_state, loss, gnorm).
 
@@ -174,7 +187,8 @@ def make_pp_train_step(vit_cfg, tx, mesh: Mesh, microbatches: int, *,
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
                 params)
             x = x.astype(jnp.bfloat16)
-        return pp_mim_loss(params, vit_cfg, x, mask, mesh, microbatches)
+        return pp_mim_loss(params, vit_cfg, x, mask, mesh, microbatches,
+                           remat=remat)
 
     def step(params, opt_state, x, mask):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)

@@ -131,16 +131,53 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             start_epoch = int(restored["epoch"]) + 1
             logger.info(f"auto-resumed from {latest} at epoch {start_epoch}")
 
+    pp_stages = int(cfg.TRAIN.get("PP_STAGES", 1))
+    pp_mod = None
     param_sh = batch_sh = None
-    if mesh is not None:
-        from ..parallel.mesh import batch_sharding, data_parallel_sharding, shard_params
+    if pp_stages > 1:
+        # GPipe pipeline parallelism (parallel/pp.py): the block stack
+        # shards over a 'pipe' mesh axis, remaining devices do dp. Takes
+        # precedence over a caller-passed dp/tp mesh. Checkpoints are
+        # written stage-agnostic (unpp_params), so resume works across
+        # stage counts; optimizer state is re-initialized on resume in pp
+        # mode (it is stage-shaped, deliberately not persisted).
+        from jax.sharding import NamedSharding, PartitionSpec as P
 
-        param_sh = data_parallel_sharding(mesh, params)
-        batch_sh = batch_sharding(mesh)
-        params = shard_params(params, param_sh)
-    step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh,
-                              remat=bool(cfg.TRAIN.USE_CHECKPOINT),
-                              amp=cfg.AMP_OPT_LEVEL not in ("", "O0"))
+        from ..parallel import pp as pp_mod_
+        from ..parallel.mesh import shard_params
+
+        pp_mod = pp_mod_
+        n_dev = len(jax.devices())
+        if n_dev % pp_stages:
+            raise ValueError(
+                f"TRAIN.PP_STAGES={pp_stages} does not divide {n_dev} devices")
+        pp_micro = int(cfg.TRAIN.get("PP_MICROBATCHES", 0)) or pp_stages
+        mesh = pp_mod.make_pp_mesh(data=n_dev // pp_stages, pipe=pp_stages)
+        logger.info(f"pipeline parallelism: mesh={dict(mesh.shape)} "
+                    f"microbatches={pp_micro}")
+        params = pp_mod.pp_params(params, pp_stages)
+        tx = build_optimizer(cfg, params, schedule)
+        opt_state = tx.init(params)  # stage-shaped; not restored from ckpt
+        batch_sh = NamedSharding(mesh, P("data"))
+        params = shard_params(params, pp_mod.pp_param_sharding(mesh, params))
+        step_fn = pp_mod.make_pp_train_step(
+            vit_cfg, tx, mesh, pp_micro,
+            remat=bool(cfg.TRAIN.USE_CHECKPOINT),
+            amp=cfg.AMP_OPT_LEVEL not in ("", "O0"))
+    else:
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, data_parallel_sharding, shard_params
+
+            param_sh = data_parallel_sharding(mesh, params)
+            batch_sh = batch_sharding(mesh)
+            params = shard_params(params, param_sh)
+        step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh,
+                                  remat=bool(cfg.TRAIN.USE_CHECKPOINT),
+                                  amp=cfg.AMP_OPT_LEVEL not in ("", "O0"))
+
+    # the panel forward / eval / checkpointing consume the plain stacked-
+    # depth layout; in pp mode convert on the way out (a cheap reshape)
+    to_plain = (lambda p: pp_mod.unpp_params(p)) if pp_mod else (lambda p: p)
 
     n_params = sum(p.size for p in jax.tree.leaves(params))
     logger.info(f"number of params: {n_params}")
@@ -202,7 +239,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             # channel 0. One extra forward on the epoch's last batch.
             x_last = jnp.asarray(img)
             m_last = jnp.asarray(mask)
-            _, x_rec, pix_mask = panel_fn(params, vit_cfg, x_last, m_last)
+            _, x_rec, pix_mask = panel_fn(to_plain(params), vit_cfg, x_last, m_last)
             inp = np.asarray(x_last[0, :, :, 0])
             pm = np.asarray(pix_mask[0, :, :, 0])
             rec = np.asarray(x_rec[0, :, :, 0], dtype=np.float32)
@@ -219,12 +256,14 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         if epoch % cfg.SAVE_FREQ == 0 or epoch == cfg.TRAIN.EPOCHS - 1:
             # reference payload: model/optimizer/lr_scheduler/max_accuracy/
             # epoch/config (utils.py:375-385); the schedule is a pure
-            # function of the step here, so opt_state + epoch cover it
-            ckpt.save_checkpoint(cfg.OUTPUT, epoch,
-                                 {"params": params, "opt_state": opt_state, "epoch": epoch})
+            # function of the step here, so opt_state + epoch cover it.
+            # pp mode: stage-agnostic params only (opt_state is stage-shaped)
+            payload = ({"params": to_plain(params), "epoch": epoch} if pp_mod
+                       else {"params": params, "opt_state": opt_state, "epoch": epoch})
+            ckpt.save_checkpoint(cfg.OUTPUT, epoch, payload)
 
         if eval_fn is not None:
-            eval_fn(params, vit_cfg, epoch)
+            eval_fn(to_plain(params), vit_cfg, epoch)
 
         loss = loss_meter.avg
         history.append(loss)
@@ -240,4 +279,4 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             break
 
     logger.info("Training time {}".format(datetime.timedelta(seconds=int(time.time() - start_time))))
-    return params, history
+    return to_plain(params), history

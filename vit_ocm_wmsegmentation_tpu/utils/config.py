@@ -152,6 +152,11 @@ def default_config() -> CfgNode:
                 "MLP_REMAT": "auto",
                 "LN_QKV": "auto",
                 "ATTN_SAVE_P": "auto",
+                # GPipe pipeline parallelism over block stages
+                # (parallel/pp.py): >1 shards the depth axis over a 'pipe'
+                # mesh axis. 0 microbatches = one per stage.
+                "PP_STAGES": 1,
+                "PP_MICROBATCHES": 0,
                 "LR_SCHEDULER": {
                     "NAME": "cosine",
                     "DECAY_EPOCHS": 30,
