@@ -411,11 +411,27 @@ def test_train_mim_pipeline_parallel_end_to_end(tmp_path):
     # returned params are plain stacked-depth layout
     assert params["blocks"]["attn"]["wqkv"].ndim == 3  # (depth, D, 3D)
     assert params["blocks"]["attn"]["wqkv"].shape[0] == 2
-    # the on-disk checkpoint restores into a plain-layout template
+    # the on-disk checkpoint stores stage-agnostic params plus the
+    # stage-shaped optimizer state tagged with its stage count
     from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt_mod
 
     latest = ckpt_mod.latest_checkpoint(cfg.OUTPUT)
     assert latest is not None
-    tmpl = {"params": jax.tree.map(np.zeros_like, params), "epoch": 0}
-    restored = ckpt_mod.restore_checkpoint(latest, tmpl)
-    assert restored["params"]["blocks"]["attn"]["wqkv"].shape[0] == 2
+    raw = ckpt_mod.restore_checkpoint_raw(latest)
+    assert int(raw["pp_stages"]) == 2 and "opt_state" in raw
+    assert np.asarray(raw["params"]["blocks"]["attn"]["wqkv"]).shape[0] == 2
+
+    # same-stage AUTO_RESUME continues (full optimizer state): one more epoch
+    cfg.TRAIN.EPOCHS = 3
+    simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
+    )
+    try:
+        loader2 = build_simmim_loader(str(img_dir), batch_size=8, img_size=32,
+                                      mask_patch_size=8, model_patch_size=8,
+                                      mask_ratio=0.5)
+        params2, history2 = train_mim(cfg, loader2, eval_fn=None)
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert len(history2) == 1  # resumed at epoch 2 of 3
+    assert params2["blocks"]["attn"]["wqkv"].shape[0] == 2

@@ -53,9 +53,11 @@ def make_pp_mesh(data: int = 1, pipe: int = -1, devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if pipe == -1:
-        assert n % data == 0
+        if n % data:
+            raise ValueError(f"data={data} does not divide {n} devices")
         pipe = n // data
-    assert data * pipe <= n
+    if data * pipe > n:
+        raise ValueError(f"mesh {data}x{pipe} needs more than {n} devices")
     return Mesh(devices[: data * pipe].reshape(data, pipe), ("data", "pipe"))
 
 
@@ -124,7 +126,12 @@ def pp_run_blocks(blocks_pp, cfg, tok, mesh: Mesh, microbatches: int,
 
         def run_local(xa):
             def body(carry, bp):
+                # prefer_folded matches _scan_blocks' training route: the
+                # flat qkvflat kernel is chip-measured SLOWER for training
+                # (models/vit._scan_blocks docstring), and the folded route
+                # is what the pp parity tests pin against
                 return vit_mod._block_forward(bp, cfg, carry, impl="auto",
+                                              prefer_folded=True,
                                               train=True), None
             y, _ = jax.lax.scan(body, xa, blocks_local)
             return y
@@ -197,7 +204,9 @@ def make_pp_train_step(vit_cfg, tx, mesh: Mesh, microbatches: int, *,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, gnorm
 
-    batch_sh = NamedSharding(mesh, P("data"))
+    from .mesh import batch_sharding
+
+    batch_sh = batch_sharding(mesh)
     cache = {}  # build the jit wrapper once (param shardings need a params
     # pytree to pattern on; rebuilding the wrapper per call would retrace)
 

@@ -350,6 +350,17 @@ def restore_checkpoint(path: str, template: Any):
         return ckptr.restore(os.path.abspath(path), template)
 
 
+def restore_checkpoint_raw(path: str):
+    """Templateless restore: the saved pytree with dict/list containers and
+    host arrays. Used to PEEK at a checkpoint whose payload layout varies
+    (pp_stages / opt_state presence) before choosing the exact template —
+    optax NamedTuple states still need the templated restore."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
+
+
 def latest_checkpoint(output_dir: str):
     """Auto-resume helper: newest ckpt_epoch_* dir or None (TRAIN.AUTO_RESUME)."""
     if not os.path.isdir(output_dir):

@@ -113,38 +113,46 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     tx = build_optimizer(cfg, params, schedule)
     opt_state = tx.init(params)
 
-    start_epoch = cfg.TRAIN.START_EPOCH
-    if cfg.TRAIN.AUTO_RESUME:
-        # the reference declares TRAIN.AUTO_RESUME but never reads it
-        # (config.py:105); here it actually resumes params AND optimizer
-        # state from the newest ckpt_epoch_* in OUTPUT (the reference's
-        # save payload includes the optimizer too, utils.py:375-385)
-        latest = ckpt.latest_checkpoint(cfg.OUTPUT)
-        if latest is not None:
-            template = {"params": params, "opt_state": opt_state, "epoch": 0}
-            try:
-                restored = ckpt.restore_checkpoint(latest, template)
-                opt_state = restored["opt_state"]
-            except Exception:  # older checkpoints without opt_state
-                restored = ckpt.restore_checkpoint(latest, {"params": params, "epoch": 0})
-            params = restored["params"]
-            start_epoch = int(restored["epoch"]) + 1
-            logger.info(f"auto-resumed from {latest} at epoch {start_epoch}")
-
     pp_stages = int(cfg.TRAIN.get("PP_STAGES", 1))
+    start_epoch = cfg.TRAIN.START_EPOCH
+    # the reference declares TRAIN.AUTO_RESUME but never reads it
+    # (config.py:105); here it actually resumes params AND optimizer state
+    # from the newest ckpt_epoch_* in OUTPUT (the reference's save payload
+    # includes the optimizer too, utils.py:375-385). The payload layout
+    # varies (pp checkpoints carry pp_stages + stage-shaped opt_state;
+    # pre-r2 ones lack opt_state), so PEEK templateless first and pick the
+    # exact template after.
+    resume_path = ckpt.latest_checkpoint(cfg.OUTPUT) if cfg.TRAIN.AUTO_RESUME else None
+    resume_raw = ckpt.restore_checkpoint_raw(resume_path) if resume_path else None
+
+    if resume_raw is not None and pp_stages <= 1:
+        start_epoch = int(resume_raw["epoch"]) + 1
+        params = jax.tree.map(jnp.asarray, resume_raw["params"])
+        if "opt_state" in resume_raw and "pp_stages" not in resume_raw:
+            restored = ckpt.restore_checkpoint(
+                resume_path, {"params": params, "opt_state": opt_state, "epoch": 0})
+            opt_state = restored["opt_state"]
+            logger.info(f"auto-resumed from {resume_path} at epoch {start_epoch}")
+        else:
+            # a pp checkpoint resumed into a plain run (stage-shaped
+            # optimizer state doesn't transfer) or a pre-opt_state save
+            logger.info(f"auto-resumed params from {resume_path} at epoch "
+                        f"{start_epoch} (optimizer state restarted)")
+
     pp_mod = None
     param_sh = batch_sh = None
+    amp = cfg.AMP_OPT_LEVEL not in ("", "O0")
+    remat = bool(cfg.TRAIN.USE_CHECKPOINT)
     if pp_stages > 1:
         # GPipe pipeline parallelism (parallel/pp.py): the block stack
         # shards over a 'pipe' mesh axis, remaining devices do dp. Takes
-        # precedence over a caller-passed dp/tp mesh. Checkpoints are
-        # written stage-agnostic (unpp_params), so resume works across
-        # stage counts; optimizer state is re-initialized on resume in pp
-        # mode (it is stage-shaped, deliberately not persisted).
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
+        # precedence over a caller-passed dp/tp mesh. Checkpoints store
+        # stage-agnostic params (unpp_params) plus the stage-shaped
+        # optimizer state tagged with pp_stages: a same-stage resume keeps
+        # the full optimizer/schedule state; a changed stage count (or a
+        # plain checkpoint) resumes params only.
         from ..parallel import pp as pp_mod_
-        from ..parallel.mesh import shard_params
+        from ..parallel.mesh import batch_sharding, shard_params
 
         pp_mod = pp_mod_
         n_dev = len(jax.devices())
@@ -155,15 +163,45 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         mesh = pp_mod.make_pp_mesh(data=n_dev // pp_stages, pipe=pp_stages)
         logger.info(f"pipeline parallelism: mesh={dict(mesh.shape)} "
                     f"microbatches={pp_micro}")
-        params = pp_mod.pp_params(params, pp_stages)
+        plain_params = params  # fresh/pretrained plain-layout tree
+        ppp = pp_mod.pp_params(plain_params, pp_stages)
+        psh = pp_mod.pp_param_sharding(mesh, ppp)
+        params = shard_params(ppp, psh)
         tx = build_optimizer(cfg, params, schedule)
-        opt_state = tx.init(params)  # stage-shaped; not restored from ckpt
-        batch_sh = NamedSharding(mesh, P("data"))
-        params = shard_params(params, pp_mod.pp_param_sharding(mesh, params))
-        step_fn = pp_mod.make_pp_train_step(
-            vit_cfg, tx, mesh, pp_micro,
-            remat=bool(cfg.TRAIN.USE_CHECKPOINT),
-            amp=cfg.AMP_OPT_LEVEL not in ("", "O0"))
+        # init from the SHARDED params so the step's donated opt_state
+        # keeps its sharding and iteration 2 hits the jit cache
+        opt_state = tx.init(params)
+        batch_sh = batch_sharding(mesh)
+        if resume_raw is not None:
+            start_epoch = int(resume_raw["epoch"]) + 1
+            if int(resume_raw.get("pp_stages", 0)) == pp_stages:
+                restored = ckpt.restore_checkpoint(
+                    resume_path, {"params": plain_params, "opt_state": opt_state,
+                                  "pp_stages": 0, "epoch": 0})
+                params = shard_params(
+                    pp_mod.pp_params(restored["params"], pp_stages), psh)
+                # orbax returns arrays committed to device 0; re-place each
+                # leaf onto the mesh (param-shaped leaves keep the template's
+                # NamedSharding, scalars like the schedule count replicate)
+                # so the jitted step sees consistent devices
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                rep = NamedSharding(mesh, P())
+                opt_state = jax.tree.map(
+                    lambda t, r: jax.device_put(
+                        r, t.sharding if isinstance(t.sharding, NamedSharding)
+                        else rep),
+                    opt_state, restored["opt_state"])
+                logger.info(f"auto-resumed (pp, optimizer state included) from "
+                            f"{resume_path} at epoch {start_epoch}")
+            else:
+                params = shard_params(pp_mod.pp_params(
+                    jax.tree.map(jnp.asarray, resume_raw["params"]), pp_stages), psh)
+                logger.info(f"auto-resumed params from {resume_path} at epoch "
+                            f"{start_epoch} (stage count or mode changed; "
+                            f"optimizer state restarted)")
+        step_fn = pp_mod.make_pp_train_step(vit_cfg, tx, mesh, pp_micro,
+                                            remat=remat, amp=amp)
     else:
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, data_parallel_sharding, shard_params
@@ -172,8 +210,7 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             batch_sh = batch_sharding(mesh)
             params = shard_params(params, param_sh)
         step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh,
-                                  remat=bool(cfg.TRAIN.USE_CHECKPOINT),
-                                  amp=cfg.AMP_OPT_LEVEL not in ("", "O0"))
+                                  remat=remat, amp=amp)
 
     # the panel forward / eval / checkpointing consume the plain stacked-
     # depth layout; in pp mode convert on the way out (a cheap reshape)
@@ -257,8 +294,10 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             # reference payload: model/optimizer/lr_scheduler/max_accuracy/
             # epoch/config (utils.py:375-385); the schedule is a pure
             # function of the step here, so opt_state + epoch cover it.
-            # pp mode: stage-agnostic params only (opt_state is stage-shaped)
-            payload = ({"params": to_plain(params), "epoch": epoch} if pp_mod
+            # pp mode: stage-agnostic params + the stage-shaped optimizer
+            # state tagged with its stage count (resume logic above)
+            payload = ({"params": to_plain(params), "opt_state": opt_state,
+                        "pp_stages": pp_stages, "epoch": epoch} if pp_mod
                        else {"params": params, "opt_state": opt_state, "epoch": epoch})
             ckpt.save_checkpoint(cfg.OUTPUT, epoch, payload)
 
