@@ -381,6 +381,34 @@ def test_pp_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
 
 
+def test_pp_pure_pipeline_eight_stages():
+    """Pure pipe (data=1, pipe=8, depth-8 encoder, 3 microbatches != stage
+    count): the fill-drain schedule with a long bubble still reproduces the
+    single-device loss and gradients."""
+    from vit_ocm_wmsegmentation_tpu.parallel import pp
+
+    cfg8 = ViTConfig(patch_size=8, embed_dim=32, depth=8, num_heads=2,
+                     pretrain_img_size=32)
+    params = simmim.init(cfg8, jax.random.PRNGKey(21))
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.random((6, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((6, 4, 4)) > 0.5).astype(np.int32))
+
+    want = simmim.mim_loss(params, cfg8, x, mask, train=True)[0]
+    g_want = jax.grad(
+        lambda p: simmim.mim_loss(p, cfg8, x, mask, train=True)[0])(params)
+
+    mesh = pp.make_pp_mesh(data=1, pipe=8)
+    ppp = pp.pp_params(params, 8)
+    pppd = shard_params(ppp, pp.pp_param_sharding(mesh, ppp))
+    got = jax.jit(lambda p: pp.pp_mim_loss(p, cfg8, x, mask, mesh, 3))(pppd)
+    np.testing.assert_allclose(float(got), float(want), atol=2e-6)
+    g_got = pp.unpp_params(jax.grad(
+        lambda p: pp.pp_mim_loss(p, cfg8, x, mask, mesh, 3))(pppd))
+    for a, b in zip(jax.tree.leaves(g_want), jax.tree.leaves(g_got)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
 def test_pp_params_roundtrip_and_validation():
     import pytest as _pytest
 
