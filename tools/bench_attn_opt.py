@@ -18,6 +18,10 @@ Variants (one per process: `python tools/bench_attn_opt.py <variant>`):
   grid2   block_q = N/2 via the grid (2 programs per (b,h))
   nomax   drop the row-max pass (UNSAFE numerics probe: bounds the max
           pass's cost, not a shippable variant)
+  qkvflat_pipe  the production qkvflat form with an explicit one-ahead
+          software pipeline over heads (next head's s-dot emitted before
+          this head's exp) — probes whether emission order buys back the
+          ~10% gap to the d=64 shape ceiling
 
 Each prints slope ms/iter (one iter = one mosaic-layer's attention:
 B=49, h=6, N=2305, d=64) and useful TF/s.
@@ -322,6 +326,84 @@ def run_qkvflat():
     return run, (qkv,)
 
 
+def kern_qkvflat_pipe(qkv_ref, bias_ref, o_ref, *, heads):
+    """qkvflat with an explicit one-ahead software pipeline over heads:
+    head h+1's s-dot (MXU) is emitted BEFORE head h's exp pass (VPU), so
+    the scheduler has an always-ready independent MXU chain to overlap the
+    softmax with. Dataflow is otherwise identical to the production SSA
+    kernel (r4 probe: does explicit emission order buy back the ~10% gap
+    between the measured 88.7 TF/s and the ~98 TF/s d=64 shape ceiling, or
+    is Mosaic already overlapping across the unrolled heads?). Two score
+    matrices live at once: +22.5 MB VMEM at N=2305 — still inside the
+    limit."""
+    rows = qkv_ref.shape[1]
+    bias = bias_ref[:]
+    dtype = qkv_ref.dtype
+    ones_pat = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (rows, D), 1) == 0, 1.0, 0.0
+    ).astype(dtype)
+
+    def load(hh):
+        q = qkv_ref[0, :, hh * D : (hh + 1) * D]
+        k = qkv_ref[0, :, DM + hh * D : DM + (hh + 1) * D]
+        v = qkv_ref[0, :, 2 * DM + hh * D : 2 * DM + (hh + 1) * D]
+        return q, k, v
+
+    def score(q, k):
+        qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
+        kmax = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=1)))
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) + bias
+        return s, qn * kmax
+
+    _, _, v = load(0)
+    s, m = score(*load(0)[:2])
+    for hh in range(heads):
+        if hh + 1 < heads:
+            qn_, kn_, vn_ = load(hh + 1)
+            s_next, m_next = score(qn_, kn_)  # MXU work ahead of the exp
+        p = jnp.exp(s - m).astype(dtype)
+        ve = jnp.concatenate([v, ones_pat], axis=1)  # SSA, never a scratch
+        oe = jax.lax.dot_general(p, ve, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        o = (oe[:, :D] / oe[:, D : D + 1]).astype(o_ref.dtype)
+        # 3-section write so the probe chains output -> input (see
+        # kern_qkvflat)
+        o_ref[0, :, hh * D : (hh + 1) * D] = o
+        o_ref[0, :, DM + hh * D : DM + (hh + 1) * D] = o
+        o_ref[0, :, 2 * DM + hh * D : 2 * DM + (hh + 1) * D] = o
+        if hh + 1 < heads:
+            s, m, v = s_next, m_next, vn_
+
+
+def run_qkvflat_pipe():
+    rng = np.random.default_rng(0)
+    scale = D**-0.5
+    qkv = rng.normal(0, 1, (B, NP, QKV_COLS))
+    qkv[:, :, :DM] *= scale
+    qkv = jnp.asarray(qkv, jnp.bfloat16)
+    bias = jnp.where(jnp.arange(NP) < N, 0.0, -1e30).astype(jnp.float32)[None, :]
+
+    @jax.jit
+    def run(x):
+        return pl.pallas_call(
+            functools.partial(kern_qkvflat_pipe, heads=H),
+            grid=(B, 1),
+            in_specs=[
+                pl.BlockSpec((1, NP, QKV_COLS), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NP), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, NP, QKV_COLS), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, NP, QKV_COLS), jnp.bfloat16),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=128 * 1024 * 1024,
+            ),
+        )(x, bias)
+
+    return run, (qkv,)
+
+
 def kern_bf16sm(q_ref, kt_ref, ve_ref, bias_ref, o_ref):
     """Softmax VPU passes on bf16 s (half the bytes through the VPU; max and
     exp tolerate bf16 — the denominator still accumulates in f32 on the MXU)."""
@@ -341,8 +423,9 @@ def main():
     use_exp2 = which in ("exp2", "split2", "split4", "stagger2", "stagger4",
                          "stagger8", "bf16sm")
     expfn = jnp.exp2 if use_exp2 else jnp.exp
-    if which in ("combo", "qkvflat"):
-        run, args = {"combo": run_combo, "qkvflat": run_qkvflat}[which]()
+    if which in ("combo", "qkvflat", "qkvflat_pipe"):
+        run, args = {"combo": run_combo, "qkvflat": run_qkvflat,
+                     "qkvflat_pipe": run_qkvflat_pipe}[which]()
         q = args[0]
         time_variant(which, run, q)
         return

@@ -50,6 +50,14 @@ echo "EXIT_A:$?" >> /tmp/band_chunk.log
 python tools/bench_gigapixel.py --size 8192 --preview 0 --band_chunk 8 >> /tmp/band_chunk.log 2>&1
 echo "EXIT_B:$?" >> /tmp/band_chunk.log
 
+# inference-kernel A/B: does explicit head software-pipelining beat the
+# production qkvflat emission order?
+echo "== qkvflat pipe A/B $(date -u)" > /tmp/attn_pipe.log
+python tools/bench_attn_opt.py qkvflat >> /tmp/attn_pipe.log 2>&1
+echo "EXIT_A:$?" >> /tmp/attn_pipe.log
+python tools/bench_attn_opt.py qkvflat_pipe >> /tmp/attn_pipe.log 2>&1
+echo "EXIT_B:$?" >> /tmp/attn_pipe.log
+
 echo "== bench $(date -u)" > /tmp/bench_relay.log
 python bench.py >> /tmp/bench_relay.log 2>&1
 echo "EXIT:$?" >> /tmp/bench_relay.log
