@@ -409,6 +409,37 @@ def test_pp_pure_pipeline_eight_stages():
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
 
 
+def test_pp_train_step_amp_matches_single_device_amp():
+    """The pp step's AMP branch (bf16 compute, f32 master state) equals the
+    single-device AMP step within bf16 reduction noise."""
+    from vit_ocm_wmsegmentation_tpu.train.mim_trainer import make_train_step
+
+    pp, params, x, mask = _pp_setup(seed=17)
+    cfg = default_config()
+    tx1 = optim.build_optimizer(cfg, params, lambda t: 1e-3)
+    step1 = make_train_step(PP_CFG, tx1, amp=True)
+    p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx1.init(params),
+                          x, mask)
+
+    mesh = pp.make_pp_mesh(data=2, pipe=4)
+    ppp = pp.pp_params(params, 4)
+    tx2 = optim.build_optimizer(cfg, ppp, lambda t: 1e-3)
+    pppd = shard_params(ppp, pp.pp_param_sharding(mesh, ppp))
+    step2 = pp.make_pp_train_step(PP_CFG, tx2, mesh, microbatches=4, amp=True)
+    p2, _, l2, g2 = step2(pppd, tx2.init(pppd), x, mask)
+
+    np.testing.assert_allclose(float(l2), float(l1), rtol=5e-3)
+    np.testing.assert_allclose(float(g2), float(g1), rtol=2e-2)
+    # Adam steps are +-lr per element regardless of grad magnitude, so a
+    # near-zero grad whose SIGN flips under bf16 reduction noise moves a
+    # parameter by up to 2*lr in opposite directions between the two
+    # graphs — bound the disagreement by a full step either way (2.5*lr),
+    # which still catches structural errors (wrong layer order, dropped
+    # microbatch: those move weights by O(weight scale), not O(lr))
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pp.unpp_params(p2))):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2.5e-3)
+
+
 def test_pp_params_roundtrip_and_validation():
     import pytest as _pytest
 
