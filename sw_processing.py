@@ -55,6 +55,12 @@ def parse_args():
                         help="directory mode: artifacts per mosaic; 'mask' "
                              "writes only otsu_sw.jpg (1/3 the encode + "
                              "wire bytes)")
+    parser.add_argument("--quant", default="none", choices=["none", "int8"],
+                        help="inference quantization: int8 runs the "
+                             "projection/MLP matmuls as dynamic W8A8 dots "
+                             "on the MXU's double-rate int8 path "
+                             "(ops/quant.py; Dice-parity-gated in "
+                             "tests/test_quant.py and tools/probe_int8.py)")
     parser.add_argument("--exact_stitch", default=0, type=int,
                         help="threshold the reference's re-stitched uint8 "
                              "mosaic bit-exactly (sw_processing.py:224-229 "
@@ -75,6 +81,9 @@ def main():
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.bf16:
         params = pl.cast_params(params, jnp.bfloat16)
+    from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_quant
+
+    set_infer_quant(args.quant)
     create_dir(args.output_dir)
 
     def segment(gray_dev, with_heat=True):

@@ -292,7 +292,7 @@ def test_scan_blocks_padded_stream_equivalence(monkeypatch):
 
     want = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
 
-    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False, interpret=False):
+    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False, interpret=False, quant=False):
         if n_valid is not None and n_valid != xx.shape[1]:
             out = att_mod.mha_fused(xx[:, :n_valid], p, heads)
             return jnp.pad(out, ((0, 0), (0, xx.shape[1] - n_valid), (0, 0)))
@@ -321,7 +321,7 @@ def test_scan_blocks_train_routes_folded(monkeypatch):
     x = jnp.asarray(np.random.default_rng(3).normal(0, 1, (2, 17, 32)).astype(np.float32))
     seen = []
 
-    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False, interpret=False):
+    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False, interpret=False, quant=False):
         seen.append((xx.shape[1], n_valid, prefer_folded))
         return att_mod.mha_fused(xx, p, heads)
 

@@ -74,10 +74,9 @@ def main():
     import ref_validate
 
     # ---- restore the trained MIM encoder (depth-4, reference geometry) ----
-    import orbax.checkpoint as ocp
-
-    with ocp.StandardCheckpointer() as ckptr:
-        restored = ckptr.restore(os.path.abspath(args.checkpoint))
+    # restore_checkpoint_raw restores to host numpy, so a TPU-written
+    # checkpoint opens in a CPU-only process (relay-outage-proof)
+    restored = ckpt.restore_checkpoint_raw(args.checkpoint)
     mim_params = restored["params"]
     cfg4 = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
                      pretrain_img_size=args.mim_image_size)

@@ -1,0 +1,163 @@
+"""On-chip decision probe for the dynamic-int8 inference mode (ops/quant.py).
+
+The v5e MXU is specced at 393.6 int8 TOPS vs 196.8 bf16 TFLOP/s. Whether
+that 2x materializes through this backend — XLA must lower the s8xs8->s32
+dot_general onto the int8 MXU path, and the dynamic quantize/dequantize
+passes must fuse — is an empirical question this probe answers with the
+same iteration-scaling methodology as tools/probe_scaling.py (slope = true
+sustained rate, relay dispatch overhead isolated in the intercept).
+
+One workload per process (fresh mid-script compiles pollute the tunnel):
+
+    python tools/probe_int8.py rawdot   # int8 vs bf16 paired matmul, MLP shape
+    python tools/probe_int8.py mha      # mha_flash quant on vs off, mosaic shape
+    python tools/probe_int8.py mosaic   # full 1152^2 graph, Dice gate + MP/s A/B
+
+Decision rule: ship --quant int8 guidance in BENCH.md only if `mosaic`
+shows a real MP/s win AND its Dice-vs-f32 gate passes at the headline
+scale; otherwise the mode stays a tested opt-in.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+
+try:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+except Exception:
+    pass
+
+from probe_scaling import fit_and_report  # noqa: E402  (same dir)
+
+
+def rawdot_workloads(m=112896, k=384, h=1536):
+    """Paired matmul x@W1@W2 at the ViT-S MLP shape: the bf16 baseline
+    (probe_scaling's 176.7 TF/s row) against the same chain with int8
+    operands and int32 accumulation, including the per-row dynamic
+    requantize between the two dots (the realistic serving pattern)."""
+    from vit_ocm_wmsegmentation_tpu.ops.quant import _colwise_int8, _rowwise_int8
+
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.normal(0, 0.05, (k, h)), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.05, (h, k)), jnp.float32)
+    w1b, w2b = w1.astype(jnp.bfloat16), w2.astype(jnp.bfloat16)
+
+    @jax.jit
+    def run_bf16(x):
+        y = jax.lax.dot_general(x, w1b, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        return jax.lax.dot_general(y, w2b, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    w1q, s1 = _colwise_int8(w1)
+    w2q, s2 = _colwise_int8(w2)
+
+    @jax.jit
+    def run_int8(x):
+        xq, sx = _rowwise_int8(x)
+        y = jax.lax.dot_general(xq, w1q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        y = y.astype(jnp.float32) * sx * s1
+        yq, sy = _rowwise_int8(y)
+        z = jax.lax.dot_general(yq, w2q, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        return (z.astype(jnp.float32) * sy * s2).astype(jnp.bfloat16)
+
+    x0 = jnp.asarray(rng.normal(0, 0.1, (m, k)), jnp.bfloat16)
+    return run_bf16, run_int8, x0, 2 * m * k * h * 2
+
+
+def mha_workloads():
+    """The full MHSA block at the mosaic shape, quantized projections vs
+    bf16 (probe_scaling's 6.0 ms/layer row is the baseline)."""
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import mha_flash
+
+    b, n, dm, h = 49, 2305, 384, 6
+    rng = np.random.default_rng(0)
+    params = {
+        "wqkv": jnp.asarray(rng.normal(0, 0.03, (dm, 3 * dm)), jnp.bfloat16),
+        "bqkv": jnp.asarray(rng.normal(0, 0.03, (3 * dm,)), jnp.bfloat16),
+        "wo": jnp.asarray(rng.normal(0, 0.03, (dm, dm)), jnp.bfloat16),
+        "bo": jnp.asarray(rng.normal(0, 0.03, (dm,)), jnp.bfloat16),
+    }
+
+    run_bf16 = jax.jit(lambda x: mha_flash(x, params, h))
+    run_int8 = jax.jit(lambda x: mha_flash(x, params, h, quant=True))
+    x0 = jnp.asarray(rng.normal(0, 1, (b, n, dm)), jnp.bfloat16)
+    d = dm // h
+    fl = 4 * b * h * n * n * d + 2 * b * n * dm * 4 * dm
+    return run_bf16, run_int8, x0, fl
+
+
+def mosaic_ab():
+    """Full headline graph A/B with the accuracy gate: int8 masks must stay
+    Dice > 0.99 against the f32 pipeline (same gate bench.py applies to
+    bf16) before the timing comparison means anything."""
+    from vit_ocm_wmsegmentation_tpu import pipeline as pl
+    from vit_ocm_wmsegmentation_tpu.models import vit
+
+    size, window, stride = 1152, 384, 128
+    cfg = vit.VIT_SMALL(patch_size=8)
+    params32 = vit.init(cfg, jax.random.PRNGKey(0))
+    params = pl.cast_params(params32, jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray((rng.random((size, size)) * 255).astype(np.uint8))
+
+    vit.set_infer_quant("none")
+    mask32, _ = pl.segment_mosaic(params32, cfg, img, window, stride)
+    vit.set_infer_quant("int8")
+    mask8, _ = pl.segment_mosaic(params, cfg, img, window, stride,
+                                 dtype=jnp.bfloat16)
+    m32 = np.asarray(mask32) > 0
+    m8 = np.asarray(mask8) > 0
+    dice = 2 * np.logical_and(m32, m8).sum() / max(m32.sum() + m8.sum(), 1)
+    print(json.dumps({"gate": "int8_vs_f32_mask_dice", "dice": round(float(dice), 5),
+                      "pass": bool(dice > 0.99)}), flush=True)
+
+    # the mode is read at trace time; set_infer_quant clears the jit
+    # caches on a switch, so each variant must be (re)jitted AFTER its
+    # mode is set — main() sequences set -> fit per variant
+    def run(im):
+        mask, _ = pl.segment_mosaic(params, cfg, im, window, stride,
+                                    dtype=jnp.bfloat16)
+        return jnp.bitwise_xor(im, mask & jnp.uint8(1))
+
+    return run, img, size * size / 1e6
+
+
+def main():
+    which = sys.argv[1]
+    if which == "rawdot":
+        b16, i8, x0, fl = rawdot_workloads()
+        fit_and_report("mlp_pair_bf16", b16, x0, [1, 4, 16, 64], fl)
+        fit_and_report("mlp_pair_int8_dynamic", i8, x0, [1, 4, 16, 64], fl)
+    elif which == "mha":
+        b16, i8, x0, fl = mha_workloads()
+        fit_and_report("mha_block_bf16", b16, x0, [1, 4, 16, 32], fl)
+        fit_and_report("mha_block_int8_proj", i8, x0, [1, 4, 16, 32], fl)
+    elif which == "mosaic":
+        from vit_ocm_wmsegmentation_tpu.models import vit
+
+        run, img, mp = mosaic_ab()
+        vit.set_infer_quant("none")
+        fit_and_report("mosaic_1152_bf16", jax.jit(run), img, [1, 2, 4, 8],
+                       mp_per_iter=mp)
+        vit.set_infer_quant("int8")
+        fit_and_report("mosaic_1152_int8", jax.jit(run), img, [1, 2, 4, 8],
+                       mp_per_iter=mp)
+        vit.set_infer_quant("none")
+    else:
+        raise SystemExit(f"unknown workload {which}")
+
+
+if __name__ == "__main__":
+    main()

@@ -62,4 +62,13 @@ echo "== bench $(date -u)" > /tmp/bench_relay.log
 python bench.py >> /tmp/bench_relay.log 2>&1
 echo "EXIT:$?" >> /tmp/bench_relay.log
 
+# int8 inference mode decision probes (ops/quant.py): raw rate first (is
+# s8xs8->s32 actually 2x through this backend?), then the headline-graph
+# A/B with its Dice gate. One workload per process.
+echo "== probe_int8 $(date -u)" > /tmp/probe_int8.log
+for w in rawdot mha mosaic; do
+  python tools/probe_int8.py "$w" >> /tmp/probe_int8.log 2>&1
+  echo "EXIT_$w:$?" >> /tmp/probe_int8.log
+done
+
 echo "runbook done $(date -u)" >> /tmp/relay_watch.log

@@ -223,6 +223,41 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     return MLP_REMAT, LN_QKV, fa.SAVE_P
 
 
+_INFER_QUANT_CHOICES = ("auto", "none", "int8")
+
+
+def set_infer_quant(mode="auto"):
+    """Select the inference quantization mode (ops/quant.py).
+
+    "int8" runs the projection / MLP matmuls of the INFERENCE paths
+    (train=False — the mosaic/eval hot loops) as dynamic W8A8 int8 dots on
+    the MXU's double-rate int8 path; the attention s/o dots and all
+    training routes are untouched. "auto" restores the shipped default
+    (full precision until the on-chip probe, tools/probe_int8.py, shows
+    the rate win holds through this backend at Dice parity). Returns the
+    effective mode.
+
+    Changing the effective mode clears jax's jit caches: the mode is read
+    at TRACE time inside graphs the pipeline caches under plain @jax.jit
+    (segment_single / segment_mosaic), so a cached full-precision graph
+    would silently keep serving after a switch to int8 — the A/B tools
+    and tests flip modes within one process.
+    """
+    from ..ops import quant
+
+    if mode not in _INFER_QUANT_CHOICES:
+        raise ValueError(
+            f"infer quant mode {mode!r} not in {_INFER_QUANT_CHOICES}")
+    prev = quant.MODE
+    if mode == "auto":
+        quant.MODE = quant._SHIPPED_MODE
+    else:
+        quant.MODE = None if mode == "none" else mode
+    if quant.MODE != prev:
+        jax.clear_caches()
+    return quant.MODE
+
+
 def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
     """Attention branch with LN1 fused into the qkv projection (train path).
 
@@ -254,8 +289,11 @@ def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
     return proj.astype(x.dtype)
 
 
-def _mlp_forward(bp, cfg: ViTConfig, x, *, remat_mode=None):
+def _mlp_forward(bp, cfg: ViTConfig, x, *, remat_mode=None, quant=False):
     """LN2 -> w1 -> GELU -> w2 residual branch of a block.
+
+    quant=True (inference only, ops/quant.py mode "int8") runs both
+    matmuls as dynamic-int8 MXU dots; LN/GELU/bias stay float.
 
     remat_mode controls which intermediates the backward pass may keep:
 
@@ -274,6 +312,14 @@ def _mlp_forward(bp, cfg: ViTConfig, x, *, remat_mode=None):
     h = nn.layer_norm(bp["norm2"], x, cfg.ln_eps)
     if remat_mode:
         h = checkpoint_name(h, "ln2_out")
+    if quant:
+        from ..ops.quant import int8_dot
+
+        h = (int8_dot(h, bp["mlp"]["w1"])
+             + bp["mlp"]["b1"].astype(jnp.float32)).astype(x.dtype)
+        g = nn.gelu(h)
+        return (int8_dot(g, bp["mlp"]["w2"])
+                + bp["mlp"]["b2"].astype(jnp.float32)).astype(x.dtype)
     h = nn.linear({"kernel": bp["mlp"]["w1"], "bias": bp["mlp"]["b1"]}, h)
     g = nn.gelu(h)
     if remat_mode:
@@ -326,7 +372,7 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
         h = nn.layer_norm(bp["norm1"], x, cfg.ln_eps)
         if impl == "auto":
             y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid,
-                             prefer_folded=prefer_folded)
+                             prefer_folded=prefer_folded, train=train)
         elif impl == "chunked":
             y = att.mha_fused(h, bp["attn"], cfg.num_heads)
         else:
@@ -361,7 +407,9 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
                 *_MLP_POLICIES[mode]),
         )
         return x + mlp(x)
-    return x + _mlp_forward(bp, cfg, x)
+    from ..ops.quant import quant_enabled
+
+    return x + _mlp_forward(bp, cfg, x, quant=not train and quant_enabled())
 
 
 def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",

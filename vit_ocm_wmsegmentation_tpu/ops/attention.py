@@ -58,7 +58,7 @@ def mha(x, params, num_heads, *, return_attn=False):
     return out
 
 
-def mha_fused(x, params, num_heads, *, q_chunk=512):
+def mha_fused(x, params, num_heads, *, q_chunk=512, quant=False):
     """MHSA without materializing the full (N,N) probability matrix.
 
     Computes softmax(qK^T)V in query chunks with a numerically stable
@@ -66,9 +66,21 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     memory is O(N * q_chunk) per head. On TPU the Pallas kernel in
     :mod:`..ops.flash_attention` supersedes this for the hot path; this
     version is the portable fallback and the correctness oracle.
+
+    quant=True (inference only — mha_auto sets it from ops/quant.py's mode
+    and the train flag; never enable under differentiation, the int8
+    round() has zero gradient) runs the qkv/out projections as dynamic
+    int8 dots.
     """
+    from .quant import int8_dot
+
+    def proj_dot(a, w):
+        if quant:
+            return int8_dot(a, w)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
     b, n, dmodel = x.shape
-    qkv = jnp.dot(x, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = proj_dot(x, params["wqkv"]).astype(x.dtype)
     if "bqkv" in params:
         qkv = qkv + params["bqkv"].astype(x.dtype)
     q, k, v = split_qkv(qkv, num_heads)
@@ -89,7 +101,7 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
     out = jax.lax.map(lambda qc: chunk(qc), jnp.moveaxis(qp, 2, 0))
     out = jnp.moveaxis(out, 0, 2).reshape(b, num_heads, nq * q_chunk, -1)[:, :, :n]
     out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
-    proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
+    proj = proj_dot(out, params["wo"]) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)
 
 
@@ -99,9 +111,14 @@ def mha_fused(x, params, num_heads, *, q_chunk=512):
 DP_KERNEL_INTERPRET = False
 
 
-def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
+def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False,
+             train=False):
     """Backend dispatch: the Pallas flash kernel on TPU backends, the
     chunked XLA path elsewhere (CPU tests, autodiff).
+
+    train=False + ops/quant.py mode "int8" quantizes the qkv/out
+    projection dots (never the training routes — int8 round() has no
+    useful gradient).
 
     With a kernel mesh active (parallel.mesh.set_kernel_mesh — the
     multi-chip training/inference paths), a pure-dp mesh wraps the kernel
@@ -115,7 +132,9 @@ def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
     the CPU fallback slices to the valid rows and pads the result back.
     """
     from ..parallel.mesh import kernel_mesh, pure_dp
+    from .quant import quant_enabled
 
+    quant = quant_enabled() and not train
     on_tpu = jax.default_backend() in ("tpu", "axon")
     mesh = kernel_mesh()
     if on_tpu or (DP_KERNEL_INTERPRET and mesh is not None):
@@ -125,15 +144,15 @@ def mha_auto(x, params, num_heads, *, n_valid=None, prefer_folded=False):
             # dp_island pads indivisible batches (mosaic tile counts)
             return mha_flash_dp(x, params, num_heads, mesh, n_valid=n_valid,
                                 prefer_folded=prefer_folded,
-                                interpret=not on_tpu)
+                                interpret=not on_tpu, quant=quant)
         if on_tpu and (mesh is None or mesh.size == 1):
             return mha_flash(x, params, num_heads, n_valid=n_valid,
-                             prefer_folded=prefer_folded)
+                             prefer_folded=prefer_folded, quant=quant)
         # tp>1: GSPMD-partitionable XLA path below
     if n_valid is not None and n_valid != x.shape[1]:
-        out = mha_fused(x[:, :n_valid], params, num_heads)
+        out = mha_fused(x[:, :n_valid], params, num_heads, quant=quant)
         return jnp.pad(out, ((0, 0), (0, x.shape[1] - n_valid), (0, 0)))
-    return mha_fused(x, params, num_heads)
+    return mha_fused(x, params, num_heads, quant=quant)
 
 
 def cls_row_attention(x, params, num_heads):

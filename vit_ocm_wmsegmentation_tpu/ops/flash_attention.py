@@ -623,7 +623,8 @@ def _scaled_qkv_weights(params, num_heads):
 
 
 def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
-              prefer_folded: bool = False, interpret: bool = False):
+              prefer_folded: bool = False, interpret: bool = False,
+              quant: bool = False):
     """Full MHSA block using the Pallas kernel (drop-in for mha_fused).
 
     With ``n_valid=None`` (drop-in mode) x is (B, N, D); the function pads
@@ -635,6 +636,11 @@ def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
     prefer_folded=True (training paths, vit._scan_blocks train=True) skips
     the flat kernel: its row padding taxes the dense bwd more than the saved
     layout ops are worth (chip-measured; see _scan_blocks docstring).
+
+    quant=True (inference-only, set by mha_auto from ops/quant.py's mode)
+    runs the qkv/out projection dots as dynamic int8 MXU dots; the
+    attention s/o dots inside the kernel stay bf16 — their ceiling is the
+    d=64 contraction shape, not the FLOP rate (BENCH.md roofline).
     """
     padded_in = n_valid is not None
     n = n_valid if padded_in else x.shape[1]
@@ -660,21 +666,29 @@ def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
             proj = jnp.pad(proj, ((0, 0), (0, x.shape[1] - n), (0, 0)))
         return proj
 
+    from .quant import int8_dot
+
+    def proj_dot(a, w):
+        if quant:
+            return int8_dot(a, w)
+        return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
     np_ = _qkv_pad_rows(n)
     wq, bq = _scaled_qkv_weights(params, num_heads)
     xp = x if padded_in else jnp.pad(x, ((0, 0), (0, np_ - n), (0, 0)))
-    qkv = jnp.dot(xp, wq, preferred_element_type=jnp.float32)
+    qkv = proj_dot(xp, wq)
     if bq is not None:
         qkv = qkv + bq
     out = attention_qkv(qkv.astype(x.dtype), num_heads, n, interpret)  # (B, Np, hd)
     if not padded_in:
         out = out[:, :n]
-    proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
+    proj = proj_dot(out, params["wo"]) + params["bo"].astype(jnp.float32)
     return proj.astype(x.dtype)
 
 
 def mha_flash_dp(x, params, num_heads, mesh, *, n_valid: int | None = None,
-                 prefer_folded: bool = False, interpret: bool = False):
+                 prefer_folded: bool = False, interpret: bool = False,
+                 quant: bool = False):
     """mha_flash shard_mapped over the mesh's 'data' (batch) axis.
 
     pallas_call lowers to a Mosaic custom call that XLA's SPMD partitioner
@@ -692,5 +706,5 @@ def mha_flash_dp(x, params, num_heads, mesh, *, n_valid: int | None = None,
     return dp_island(
         lambda xx, pp: mha_flash(xx, pp, num_heads, n_valid=n_valid,
                                  prefer_folded=prefer_folded,
-                                 interpret=interpret),
+                                 interpret=interpret, quant=quant),
         mesh, x, params)

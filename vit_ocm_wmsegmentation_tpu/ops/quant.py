@@ -1,0 +1,78 @@
+"""Dynamic int8 quantized matmul for the inference hot path.
+
+The v5e MXU runs int8 x int8 -> int32 at ~2x the bf16 FLOP rate (393.6
+TOPS vs 196.8 TFLOP/s), and the mosaic inference graph spends ~90 of its
+116 ms in matmuls (BENCH.md roofline) — the qkv / out projections and the
+MLP pair are the share that is NOT structurally shape-bound at d=64, so
+they are the int8 targets. The attention s/o dots stay bf16 inside the
+Pallas kernel (their ceiling is the 64-deep contraction, not the rate).
+
+Scheme: symmetric dynamic quantization, zero calibration state —
+* activations: per-row scale  s_x = max|x_row| / 127  (computed on the fly;
+  one cheap VPU pass that XLA fuses into the preceding elementwise ops)
+* weights: per-output-channel scale  s_w = max|w_col| / 127  (folded at
+  trace time — weights are constants under jit, so XLA constant-folds the
+  quantization of every layer once per compiled graph)
+* y = (x_q @ w_q) * s_x * s_w  accumulated in int32, dequantized in f32.
+
+This mirrors the standard LLM.int8()/SmoothQuant-style W8A8 inference
+recipe; no reference counterpart exists (the reference runs f32 CUDA end
+to end), so this is a net-new serving feature, opt-in via
+models.vit.set_infer_quant("int8") or the CLIs' --quant flag, and
+accuracy-gated: masks must stay Dice-parity with the f32 pipeline
+(tests/test_quant.py on CPU; tools/probe_int8.py re-gates on chip at the
+headline scale before timing).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Flag of record for the inference paths (models/vit.py consults it via
+# quant_enabled()). Follows the module-global convention of
+# vit.MLP_REMAT / attention.DP_KERNEL_INTERPRET: mutated only through
+# models.vit.set_infer_quant, which validates choices and restores the
+# shipped default on "auto".
+_SHIPPED_MODE = None  # None = full-precision (the measured default)
+MODE = _SHIPPED_MODE
+
+
+def quant_enabled() -> bool:
+    return MODE == "int8"
+
+
+def _rowwise_int8(x):
+    """(..., K) float -> (int8 values, (..., 1) f32 scale). Symmetric,
+    round-to-nearest-even; all-zero rows get scale 1 so 0/0 never forms."""
+    x = x.astype(jnp.float32)
+    s = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def _colwise_int8(w):
+    """(K, M) float -> (int8 values, (1, M) f32 scale), per output channel.
+    Under jit the weight is a constant, so XLA folds this to a literal."""
+    w = w.astype(jnp.float32)
+    s = jnp.max(jnp.abs(w), axis=0, keepdims=True) / 127.0
+    s = jnp.where(s > 0, s, 1.0)
+    q = jnp.clip(jnp.round(w / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+def int8_dot(x, w):
+    """Quantized x @ w: (..., K) @ (K, M) -> (..., M) float32.
+
+    int8 operands, int32 MXU accumulation, f32 dequant with the per-row /
+    per-column scales. Relative error per output element is bounded by
+    ~(|x|_row_max * |w|_col_max * K) / 127 vs the row's true magnitude —
+    <1% at ViT activation statistics (tests/test_quant.py pins it).
+    """
+    xq, sx = _rowwise_int8(x)
+    wq, sw = _colwise_int8(w)
+    y = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return y.astype(jnp.float32) * sx * sw

@@ -352,13 +352,25 @@ def restore_checkpoint(path: str, template: Any):
 
 def restore_checkpoint_raw(path: str):
     """Templateless restore: the saved pytree with dict/list containers and
-    host arrays. Used to PEEK at a checkpoint whose payload layout varies
-    (pp_stages / opt_state presence) before choosing the exact template —
-    optax NamedTuple states still need the templated restore."""
+    host numpy arrays. Used to PEEK at a checkpoint whose payload layout
+    varies (pp_stages / opt_state presence) before choosing the exact
+    template — optax NamedTuple states still need the templated restore.
+
+    Leaves restore as np.ndarray explicitly: a templateless jax.Array
+    restore replays the sharding recorded at save time, so a checkpoint
+    written on the TPU would refuse to open in a CPU-only process
+    ("Device TPU v5 lite0 was not found") — e.g. the offline analysis
+    tools during a relay outage. Host arrays are backend-agnostic and
+    match what every caller does with the result (inspect / device_put)."""
     import orbax.checkpoint as ocp
 
-    with ocp.StandardCheckpointer() as ckptr:
-        return ckptr.restore(os.path.abspath(path))
+    apath = os.path.abspath(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        meta = ckptr.metadata(apath).item_metadata
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+            meta.tree if hasattr(meta, "tree") else meta)
+        return ckptr.restore(apath, restore_args=restore_args)
 
 
 def latest_checkpoint(output_dir: str):
