@@ -47,6 +47,11 @@ def parse_args():
     parser.add_argument("--query_rate", type=int, default=10)
     parser.add_argument("--save_query", type=bool, default=False)
     parser.add_argument("--save_feature", type=bool, default=False)
+    parser.add_argument("--quant", default="none", choices=["none", "int8"],
+                        help="inference quantization: int8 runs the "
+                             "projection/MLP matmuls as dynamic W8A8 dots "
+                             "on the MXU's double-rate int8 path "
+                             "(ops/quant.py)")
     return parser.parse_args()
 
 
@@ -191,6 +196,9 @@ def main():
     if len(args.image_size) == 1:
         args.image_size = [args.image_size[0]] * 2
     params, cfg, _ = load_model(args.arch, args.patch_size, args.pretrained_weights, args.checkpoint_key)
+    from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_quant
+
+    set_infer_quant(args.quant)
 
     if args.image_path is None:
         raise SystemExit("Please use the `--image_path` argument to indicate the path of the image.")

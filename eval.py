@@ -49,6 +49,12 @@ def parse_args():
                         help="run the ViT in bfloat16 (MXU-native; attention "
                              "maps still leave in f32 and thresholds/metrics "
                              "are unchanged). 0 = float32 like the reference")
+    parser.add_argument("--quant", default="none", choices=["none", "int8"],
+                        help="inference quantization: int8 runs the "
+                             "projection/MLP matmuls as dynamic W8A8 dots on "
+                             "the MXU's double-rate int8 path (ops/quant.py; "
+                             "trained-weights metric deltas <= 0.0064, "
+                             "tools/quant_accuracy.py)")
     return parser.parse_args()
 
 
@@ -72,6 +78,9 @@ def main():
 
     params, cfg, _ = load_model(args.arch, args.patch_size, args.pretrained_weights, args.checkpoint_key)
     logger.info(f"Creating model:{args.arch}/{args.patch_size}")
+    from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_quant
+
+    set_infer_quant(args.quant)
     acc, f1, loss = evaluation.validate(
         params, cfg, samples, method=args.method, crop=args.crop,
         median_size=int(args.median_filter), logger=logger,
