@@ -94,6 +94,107 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def _leaf_local_fraction(a):
+    """Per-device bytes / global bytes for one jax Array."""
+    return a.addressable_shards[0].data.size / a.size
+
+
+def test_fsdp_train_step_matches_single_device():
+    """ZeRO-3/FSDP (parallel/mesh.py::fsdp_param_sharding): params and Adam
+    moments shard over 'data', GSPMD inserts the all-gather /
+    reduce-scatter, and the step equals the single-device step — while the
+    large leaves actually live 1/8-sharded on every device (so the memory
+    claim is pinned, not assumed)."""
+    from vit_ocm_wmsegmentation_tpu.parallel.mesh import (
+        fsdp_opt_sharding,
+        fsdp_param_sharding,
+    )
+
+    cfg = default_config()
+    params = simmim.init(CFG, jax.random.PRNGKey(30))
+    tx = optim.build_optimizer(cfg, params, lambda t: 1e-3)
+    rng = np.random.default_rng(31)
+    x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((8, 4, 4)) > 0.5).astype(np.int32))
+
+    step1 = make_train_step(CFG, tx)
+    p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx.init(params), x, mask)
+
+    mesh = make_mesh()  # 8-way pure dp
+    psh = fsdp_param_sharding(mesh, params)
+    from jax.sharding import PartitionSpec as P
+
+    # the rule must shard the big weights and replicate the small leaves
+    assert psh["blocks"]["attn"]["wqkv"].spec == P(None, None, "data")
+    assert psh["blocks"]["norm1"]["scale"].spec == P()
+    bsh = batch_sharding(mesh)
+    sp = shard_params(params, psh)
+    opt_sh = fsdp_opt_sharding(mesh, tx, sp)
+    opt8 = jax.tree.map(lambda r, s: jax.device_put(np.asarray(r), s),
+                        tx.init(params), opt_sh)
+    step8 = make_train_step(CFG, tx, mesh=mesh, param_sharding=psh,
+                            batch_sharding_=bsh, opt_sharding=opt_sh)
+    p8, o8, l8, g8 = step8(sp, opt8, jax.device_put(x, bsh),
+                           jax.device_put(mask, bsh))
+
+    np.testing.assert_allclose(float(l8), float(l1), atol=1e-5)
+    np.testing.assert_allclose(float(g8), float(g1), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+    # memory: updated params AND Adam moments still hold 1/8 shards of the
+    # big weights per device (the donated-state layout didn't collapse to
+    # replication across the step)
+    assert _leaf_local_fraction(p8["blocks"]["attn"]["wqkv"]) == 1 / 8
+    big_sharded = [a for a in jax.tree.leaves(o8)
+                   if a.ndim >= 2 and a.size >= 2048
+                   and _leaf_local_fraction(a) == 1 / 8]
+    assert len(big_sharded) >= 8, "Adam moments not FSDP-sharded"
+
+
+def test_fsdp_step_with_kernel_island_route():
+    """FSDP + the shard_map Pallas kernel islands (the multi-chip TPU
+    training dispatch): the islands declare replicated weights (P()), so
+    the fsdp-sharded leaves all-gather at the island boundary — the step
+    must still equal the single-device XLA step."""
+    from vit_ocm_wmsegmentation_tpu.ops import attention as att_mod
+    from vit_ocm_wmsegmentation_tpu.parallel.mesh import (
+        fsdp_opt_sharding,
+        fsdp_param_sharding,
+    )
+
+    cfg = default_config()
+    params = simmim.init(CFG, jax.random.PRNGKey(32))
+    tx = optim.build_optimizer(cfg, params, lambda t: 1e-3)
+    rng = np.random.default_rng(33)
+    x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((8, 4, 4)) > 0.5).astype(np.int32))
+
+    step1 = make_train_step(CFG, tx)
+    p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx.init(params), x, mask)
+
+    mesh = make_mesh()
+    psh = fsdp_param_sharding(mesh, params)
+    bsh = batch_sharding(mesh)
+    sp = shard_params(params, psh)
+    opt_sh = fsdp_opt_sharding(mesh, tx, sp)
+    opt8 = jax.tree.map(lambda r, s: jax.device_put(np.asarray(r), s),
+                        tx.init(params), opt_sh)
+    att_mod.DP_KERNEL_INTERPRET = True
+    try:
+        step8 = make_train_step(CFG, tx, mesh=mesh, param_sharding=psh,
+                                batch_sharding_=bsh, opt_sharding=opt_sh)
+        p8, _, l8, g8 = step8(sp, opt8, jax.device_put(x, bsh),
+                              jax.device_put(mask, bsh))
+    finally:
+        att_mod.DP_KERNEL_INTERPRET = False
+
+    np.testing.assert_allclose(float(l8), float(l1), atol=1e-5)
+    np.testing.assert_allclose(float(g8), float(g1), atol=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-5)
+
+
 def test_mosaic_pipeline_shards_over_tiles():
     """The tile batch axis of the mosaic pipeline is data-shardable: same
     result with inputs placed on the mesh."""

@@ -82,6 +82,59 @@ def data_parallel_sharding(mesh: Mesh, params) -> dict:
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
 
 
+def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2048) -> dict:
+    """ZeRO-3/FSDP-style parameter sharding over the 'data' axis.
+
+    Each leaf shards its LARGEST axis divisible by the mesh's 'data' size
+    (ties to the last such axis — for conv/linear kernels that is the
+    output-channel dim, whose all-gather XLA overlaps best with the
+    producing matmul); leaves smaller than ``min_size`` elements or with no
+    divisible axis stay replicated (biases / LN scales — sharding them
+    saves nothing and costs a collective each).
+
+    Under jit, GSPMD inserts the FSDP collectives automatically: weights
+    all-gather at their use sites in forward/backward, and the weight-grad
+    cotangents reduce-scatter back to the shard layout, because the step's
+    out_shardings pin the updated params (and hence the Adam moments that
+    flow from them) to this spec. Per-device parameter + optimizer-state
+    memory therefore falls ~|data|-fold — the TPU-native equivalent of the
+    ZeRO-3 / torch-FSDP recipe, for encoders whose f32 master params +
+    moments outgrow one chip's HBM. Composes with the reference semantics
+    unchanged: tests/test_parallel.py pins the fsdp step bit-comparable to
+    the single-device step.
+    """
+    data = dict(mesh.shape).get("data", 1)
+
+    def rule(leaf):
+        if data <= 1 or leaf.size < min_size:
+            return NamedSharding(mesh, P())
+        cands = [(d, i) for i, d in enumerate(leaf.shape) if d % data == 0 and d >= data]
+        if not cands:
+            return NamedSharding(mesh, P())
+        _, ax = max(cands, key=lambda t: (t[0], t[1]))
+        spec = [None] * leaf.ndim
+        spec[ax] = "data"
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(rule, params)
+
+
+def fsdp_opt_sharding(mesh: Mesh, tx, params):
+    """NamedSharding pytree for ``tx.init(params)`` under FSDP.
+
+    GSPMD cannot propagate the layout through the init itself — optax
+    builds moments with ``zeros_like``, which carries no data dependency on
+    the param, so a jitted init replicates them. Instead, apply the same
+    fsdp rule to the state's shape tree (``eval_shape``): the Adam
+    mu/nu leaves are param-shaped, so they get exactly the param's spec,
+    and scalars (count) replicate. The step's in/out_shardings then pin
+    this layout, making the moment updates collective-free in steady state
+    (elementwise against the reduce-scattered grads).
+    """
+    shapes = jax.eval_shape(tx.init, params)
+    return fsdp_param_sharding(mesh, shapes)
+
+
 def shard_params(params, shardings):
     return jax.tree.map(lambda p, s: jax.device_put(p, s), params, shardings)
 

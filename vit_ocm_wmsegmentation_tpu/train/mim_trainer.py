@@ -31,8 +31,8 @@ from .optim import build_optimizer
 from .schedule import build_schedule
 
 
-def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None, remat=False,
-                    amp=False):
+def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None,
+                    opt_sharding=None, remat=False, amp=False):
     """Compiled MIM step: (params, opt_state, x, mask) ->
     (params, opt_state, loss, grad_norm).
 
@@ -42,6 +42,11 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
     upcasts the cotangent), grad-clip and AdamW state stay float32. bf16 has
     fp32's exponent range, so no loss scaling is needed — the loss reduction
     itself accumulates in f32 (models/simmim.py).
+
+    opt_sharding: explicit NamedSharding pytree for the optimizer state
+    (None = let the compiler choose, the replicated-dp behavior). The FSDP
+    mode passes the sharded-moment layout here so the donated opt_state
+    stays ZeRO-sharded across steps instead of silently replicating.
     """
 
     def loss_fn(params, x, mask):
@@ -69,8 +74,8 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
         return jax.jit(
             step,
             donate_argnums=(0, 1),
-            in_shardings=(param_sharding, None, batch_sharding_, batch_sharding_),
-            out_shardings=(param_sharding, None, None, None),
+            in_shardings=(param_sharding, opt_sharding, batch_sharding_, batch_sharding_),
+            out_shardings=(param_sharding, opt_sharding, None, None),
         )
     return jax.jit(step, donate_argnums=(0, 1))
 
@@ -203,14 +208,38 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         step_fn = pp_mod.make_pp_train_step(vit_cfg, tx, mesh, pp_micro,
                                             remat=remat, amp=amp)
     else:
+        opt_sh = None
         if mesh is not None:
-            from ..parallel.mesh import batch_sharding, data_parallel_sharding, shard_params
+            from ..parallel.mesh import (
+                batch_sharding,
+                data_parallel_sharding,
+                fsdp_param_sharding,
+                shard_params,
+            )
 
-            param_sh = data_parallel_sharding(mesh, params)
+            fsdp = bool(cfg.TRAIN.get("FSDP", False))
+            param_sh = (fsdp_param_sharding(mesh, params) if fsdp
+                        else data_parallel_sharding(mesh, params))
             batch_sh = batch_sharding(mesh)
             params = shard_params(params, param_sh)
+            if fsdp:
+                # ZeRO: the Adam moments inherit the parameter shards
+                # (fsdp_opt_sharding probes GSPMD's propagated layout);
+                # re-place the live opt_state (fresh init or the resumed
+                # one — values are layout-agnostic host data) onto it; the
+                # step then pins this layout via in/out_shardings so the
+                # donated state never silently replicates.
+                from ..parallel.mesh import fsdp_opt_sharding
+
+                opt_sh = fsdp_opt_sharding(mesh, tx, params)
+                opt_state = jax.tree.map(
+                    lambda r, s: jax.device_put(np.asarray(r), s),
+                    opt_state, opt_sh)
+                logger.info(
+                    f"FSDP over mesh {dict(mesh.shape)}: params + optimizer "
+                    f"moments sharded over 'data'")
         step_fn = make_train_step(vit_cfg, tx, mesh=mesh, param_sharding=param_sh, batch_sharding_=batch_sh,
-                                  remat=remat, amp=amp)
+                                  opt_sharding=opt_sh, remat=remat, amp=amp)
 
     # the panel forward / eval / checkpointing consume the plain stacked-
     # depth layout; in pp mode convert on the way out (a cheap reshape)

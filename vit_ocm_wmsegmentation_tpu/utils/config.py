@@ -157,6 +157,11 @@ def default_config() -> CfgNode:
                 # mesh axis. 0 microbatches = one per stage.
                 "PP_STAGES": 1,
                 "PP_MICROBATCHES": 0,
+                # ZeRO-3/FSDP-style sharding of params + Adam moments over
+                # the mesh 'data' axis (parallel/mesh.py
+                # fsdp_param_sharding); semantics identical to dp, per-chip
+                # state memory ~|data|x smaller.
+                "FSDP": False,
                 "LR_SCHEDULER": {
                     "NAME": "cosine",
                     "DECAY_EPOCHS": 30,
