@@ -121,7 +121,11 @@ def test_fsdp_train_step_matches_single_device():
     p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx.init(params), x, mask)
 
     mesh = make_mesh()  # 8-way pure dp
-    psh = fsdp_param_sharding(mesh, params)
+    # tiny test geometry sits below the production per-shard floor (4096
+    # elements/device, tuned to real ViT-S leaf sizes — see
+    # test_fsdp_rule_default_at_vit_s_geometry); drop it so the tiny
+    # weights shard and the collective program is exercised
+    psh = fsdp_param_sharding(mesh, params, min_shard=64)
     from jax.sharding import PartitionSpec as P
 
     # the rule must shard the big weights and replicate the small leaves
@@ -129,7 +133,7 @@ def test_fsdp_train_step_matches_single_device():
     assert psh["blocks"]["norm1"]["scale"].spec == P()
     bsh = batch_sharding(mesh)
     sp = shard_params(params, psh)
-    opt_sh = fsdp_opt_sharding(mesh, tx, sp)
+    opt_sh = fsdp_opt_sharding(mesh, tx, sp, min_shard=64)
     opt8 = jax.tree.map(lambda r, s: jax.device_put(np.asarray(r), s),
                         tx.init(params), opt_sh)
     step8 = make_train_step(CFG, tx, mesh=mesh, param_sharding=psh,
@@ -150,6 +154,33 @@ def test_fsdp_train_step_matches_single_device():
                    if a.ndim >= 2 and a.size >= 2048
                    and _leaf_local_fraction(a) == 1 / 8]
     assert len(big_sharded) >= 8, "Adam moments not FSDP-sharded"
+
+
+def test_fsdp_rule_default_at_vit_s_geometry():
+    """The production default (min_shard=4096 elements per device) must,
+    at the real ViT-S/8 MIM geometry, shard every weight matrix and
+    replicate every stacked bias / LN vector — the distinction the rule's
+    docstring promises (a sharded LN scale costs an all-gather per use and
+    saves ~nothing). Shapes only: eval_shape avoids the 21M-param init."""
+    from vit_ocm_wmsegmentation_tpu.parallel.mesh import fsdp_param_sharding
+
+    big = ViTConfig(patch_size=8, embed_dim=384, depth=12, num_heads=6,
+                    pretrain_img_size=224)
+    shapes = jax.eval_shape(lambda: simmim.init(big, jax.random.PRNGKey(0)))
+    mesh = make_mesh()
+    psh = fsdp_param_sharding(mesh, shapes)
+    from jax.sharding import PartitionSpec as P
+
+    blocks = psh["blocks"]
+    for name in ("wqkv", "wo"):
+        assert "data" in tuple(blocks["attn"][name].spec), name
+    for name in ("w1", "w2"):
+        assert "data" in tuple(blocks["mlp"][name].spec), name
+    # stacked vectors replicate: (12, 384) scales, (12, 1536) b1 included
+    for sub, name in (("norm1", "scale"), ("norm1", "bias"),
+                      ("norm2", "scale"), ("attn", "bqkv"),
+                      ("attn", "bo"), ("mlp", "b1"), ("mlp", "b2")):
+        assert blocks[sub][name].spec == P(), (sub, name)
 
 
 def test_fsdp_step_with_kernel_island_route():
@@ -174,10 +205,10 @@ def test_fsdp_step_with_kernel_island_route():
     p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx.init(params), x, mask)
 
     mesh = make_mesh()
-    psh = fsdp_param_sharding(mesh, params)
+    psh = fsdp_param_sharding(mesh, params, min_shard=64)
     bsh = batch_sharding(mesh)
     sp = shard_params(params, psh)
-    opt_sh = fsdp_opt_sharding(mesh, tx, sp)
+    opt_sh = fsdp_opt_sharding(mesh, tx, sp, min_shard=64)
     opt8 = jax.tree.map(lambda r, s: jax.device_put(np.asarray(r), s),
                         tx.init(params), opt_sh)
     att_mod.DP_KERNEL_INTERPRET = True

@@ -88,6 +88,33 @@ def test_quant_changes_inference_but_not_training():
                                atol=5e-2, rtol=0)
 
 
+def test_quant_applies_on_folded_kernel_branch():
+    """mha_flash's folded branch (prefer_folded / large-n dispatch) must
+    quantize its projections exactly like the flat branch — a silent
+    full-precision fallback would make --quant int8 a partial no-op at
+    large sequence lengths (review finding, r3)."""
+    from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
+
+    rng = np.random.default_rng(5)
+    b, n, dm, h = 2, 20, 32, 2
+    x = jnp.asarray(rng.standard_normal((b, n, dm)).astype(np.float32))
+    params = {
+        "wqkv": jnp.asarray(0.1 * rng.standard_normal((dm, 3 * dm)).astype(np.float32)),
+        "bqkv": jnp.asarray(0.1 * rng.standard_normal((3 * dm,)).astype(np.float32)),
+        "wo": jnp.asarray(0.1 * rng.standard_normal((dm, dm)).astype(np.float32)),
+        "bo": jnp.zeros((dm,), jnp.float32),
+    }
+    plain = fa.mha_flash(x, params, h, prefer_folded=True, interpret=True)
+    q = fa.mha_flash(x, params, h, prefer_folded=True, interpret=True,
+                     quant=True)
+    assert not bool(jnp.all(q == plain)), "folded branch ignored quant"
+    # and it agrees with the chunked XLA path under the same quantization
+    from vit_ocm_wmsegmentation_tpu.ops.attention import mha_fused
+
+    want = mha_fused(x, params, h, quant=True)
+    np.testing.assert_allclose(np.asarray(q), np.asarray(want), atol=2e-5)
+
+
 def test_quant_mask_dice_parity_tiny():
     """End-to-end gate at test scale, mirroring bench.py's bf16-vs-f32
     gate: the int8 'ours' mask must stay Dice > 0.99 against f32, and the

@@ -139,6 +139,9 @@ def mosaic_ab():
 
 
 def main():
+    if len(sys.argv) < 2:
+        raise SystemExit("usage: probe_int8.py {rawdot|mha|mosaic}  (one "
+                         "workload per process; see module docstring)")
     which = sys.argv[1]
     if which == "rawdot":
         b16, i8, x0, fl = rawdot_workloads()

@@ -647,31 +647,33 @@ def mha_flash(x, params, num_heads, *, n_valid: int | None = None,
     b, _, dmodel = x.shape
     d = dmodel // num_heads
 
-    if prefer_folded or not qkvflat_fits(n, num_heads, d):
-        # folded multi-block kernel path for sequence lengths whose score
-        # matrix exceeds the one-program VMEM budget
-        from .attention import split_qkv
-
-        xs = x[:, :n] if padded_in else x
-        qkv = jnp.dot(xs, params["wqkv"], preferred_element_type=jnp.float32).astype(x.dtype)
-        if "bqkv" in params:
-            qkv = qkv + params["bqkv"].astype(x.dtype)
-        q, k, v = split_qkv(qkv, num_heads)
-        out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret,
-                                        SAVE_P)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
-        proj = jnp.dot(out, params["wo"], preferred_element_type=jnp.float32) + params["bo"].astype(jnp.float32)
-        proj = proj.astype(x.dtype)
-        if padded_in:
-            proj = jnp.pad(proj, ((0, 0), (0, x.shape[1] - n), (0, 0)))
-        return proj
-
     from .quant import int8_dot
 
     def proj_dot(a, w):
         if quant:
             return int8_dot(a, w)
         return jnp.dot(a, w, preferred_element_type=jnp.float32)
+
+    if prefer_folded or not qkvflat_fits(n, num_heads, d):
+        # folded multi-block kernel path for sequence lengths whose score
+        # matrix exceeds the one-program VMEM budget (quant applies here
+        # too — large-sequence inference is where the projection FLOPs
+        # are biggest, and mha_auto only sets quant on inference paths)
+        from .attention import split_qkv
+
+        xs = x[:, :n] if padded_in else x
+        qkv = proj_dot(xs, params["wqkv"]).astype(x.dtype)
+        if "bqkv" in params:
+            qkv = qkv + params["bqkv"].astype(x.dtype)
+        q, k, v = split_qkv(qkv, num_heads)
+        out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret,
+                                        SAVE_P)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, dmodel)
+        proj = proj_dot(out, params["wo"]) + params["bo"].astype(jnp.float32)
+        proj = proj.astype(x.dtype)
+        if padded_in:
+            proj = jnp.pad(proj, ((0, 0), (0, x.shape[1] - n), (0, 0)))
+        return proj
 
     np_ = _qkv_pad_rows(n)
     wq, bq = _scaled_qkv_weights(params, num_heads)

@@ -82,15 +82,19 @@ def data_parallel_sharding(mesh: Mesh, params) -> dict:
     return jax.tree.map(lambda _: NamedSharding(mesh, P()), params)
 
 
-def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2048) -> dict:
+def fsdp_param_sharding(mesh: Mesh, params, min_shard: int = 4096) -> dict:
     """ZeRO-3/FSDP-style parameter sharding over the 'data' axis.
 
     Each leaf shards its LARGEST axis divisible by the mesh's 'data' size
     (ties to the last such axis — for conv/linear kernels that is the
     output-channel dim, whose all-gather XLA overlaps best with the
-    producing matmul); leaves smaller than ``min_size`` elements or with no
-    divisible axis stay replicated (biases / LN scales — sharding them
-    saves nothing and costs a collective each).
+    producing matmul); leaves whose PER-DEVICE shard would fall below
+    ``min_shard`` elements, or with no divisible axis, stay replicated.
+    The per-shard guard is what separates weights from vectors at real
+    geometry: ViT-S's smallest weight leaf holds ~221k elements/device on
+    an 8-way mesh while the largest stacked bias (blocks/mlp/b1,
+    (12, 1536)) holds 2.3k — sharding biases / LN scales saves nothing
+    and costs a collective at every use site.
 
     Under jit, GSPMD inserts the FSDP collectives automatically: weights
     all-gather at their use sites in forward/backward, and the weight-grad
@@ -106,9 +110,9 @@ def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2048) -> dict:
     data = dict(mesh.shape).get("data", 1)
 
     def rule(leaf):
-        if data <= 1 or leaf.size < min_size:
+        if data <= 1 or leaf.size < min_shard * data:
             return NamedSharding(mesh, P())
-        cands = [(d, i) for i, d in enumerate(leaf.shape) if d % data == 0 and d >= data]
+        cands = [(d, i) for i, d in enumerate(leaf.shape) if d % data == 0 and d > 0]
         if not cands:
             return NamedSharding(mesh, P())
         _, ax = max(cands, key=lambda t: (t[0], t[1]))
@@ -119,7 +123,7 @@ def fsdp_param_sharding(mesh: Mesh, params, min_size: int = 2048) -> dict:
     return jax.tree.map(rule, params)
 
 
-def fsdp_opt_sharding(mesh: Mesh, tx, params):
+def fsdp_opt_sharding(mesh: Mesh, tx, params, min_shard: int = 4096):
     """NamedSharding pytree for ``tx.init(params)`` under FSDP.
 
     GSPMD cannot propagate the layout through the init itself — optax
@@ -132,7 +136,7 @@ def fsdp_opt_sharding(mesh: Mesh, tx, params):
     (elementwise against the reduce-scattered grads).
     """
     shapes = jax.eval_shape(tx.init, params)
-    return fsdp_param_sharding(mesh, shapes)
+    return fsdp_param_sharding(mesh, shapes, min_shard)
 
 
 def shard_params(params, shardings):

@@ -148,6 +148,16 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
     param_sh = batch_sh = None
     amp = cfg.AMP_OPT_LEVEL not in ("", "O0")
     remat = bool(cfg.TRAIN.USE_CHECKPOINT)
+    if bool(cfg.TRAIN.get("FSDP", False)) and (pp_stages > 1 or mesh is None):
+        # FSDP shards over the dp mesh 'data' axis; pp brings its own mesh
+        # and stage-sharded state, and a single device has nothing to
+        # shard over — say so instead of silently training replicated
+        logger.warning(
+            "TRAIN.FSDP=True ignored: "
+            + ("pipeline parallelism (TRAIN.PP_STAGES>1) already shards "
+               "state over 'pipe' and the two modes do not compose"
+               if pp_stages > 1 else
+               "no multi-device mesh (single device run)"))
     if pp_stages > 1:
         # GPipe pipeline parallelism (parallel/pp.py): the block stack
         # shards over a 'pipe' mesh axis, remaining devices do dp. Takes
