@@ -156,6 +156,53 @@ def test_fsdp_train_step_matches_single_device():
     assert len(big_sharded) >= 8, "Adam moments not FSDP-sharded"
 
 
+def test_fsdp_train_step_amp_matches_single_device_amp():
+    """FSDP composed with AMP — the configuration a real large-backbone run
+    uses (bf16 compute, ZeRO-sharded f32 master params + Adam moments) —
+    equals the single-device AMP step. Pins that the all-gathered bf16 cast
+    happens AFTER the f32 master shard gather (same numerics as unsharded)
+    and that the donated sharded opt layout survives the AMP branch."""
+    from vit_ocm_wmsegmentation_tpu.parallel.mesh import (
+        fsdp_opt_sharding,
+        fsdp_param_sharding,
+    )
+
+    cfg = default_config()
+    params = simmim.init(CFG, jax.random.PRNGKey(40))
+    tx = optim.build_optimizer(cfg, params, lambda t: 1e-3)
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.random((8, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((8, 4, 4)) > 0.5).astype(np.int32))
+
+    step1 = make_train_step(CFG, tx, amp=True)
+    p1, _, l1, g1 = step1(jax.tree.map(jnp.copy, params), tx.init(params), x, mask)
+
+    mesh = make_mesh()
+    psh = fsdp_param_sharding(mesh, params, min_shard=64)
+    bsh = batch_sharding(mesh)
+    sp = shard_params(params, psh)
+    opt_sh = fsdp_opt_sharding(mesh, tx, sp, min_shard=64)
+    opt8 = jax.tree.map(lambda r, s: jax.device_put(np.asarray(r), s),
+                        tx.init(params), opt_sh)
+    step8 = make_train_step(CFG, tx, mesh=mesh, param_sharding=psh,
+                            batch_sharding_=bsh, opt_sharding=opt_sh,
+                            amp=True)
+    p8, o8, l8, g8 = step8(sp, opt8, jax.device_put(x, bsh),
+                           jax.device_put(mask, bsh))
+
+    # bf16 forward is per-example identical; only the f32 cross-device
+    # grad/loss reduction order differs — tolerances between the exact dp
+    # test (1e-5) and the pp AMP test (which re-chunks the bf16 compute)
+    np.testing.assert_allclose(float(l8), float(l1), rtol=1e-4)
+    np.testing.assert_allclose(float(g8), float(g1), rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2.5e-3)
+    assert _leaf_local_fraction(p8["blocks"]["attn"]["wqkv"]) == 1 / 8
+    assert any(a.ndim >= 2 and a.size >= 2048
+               and _leaf_local_fraction(a) == 1 / 8
+               for a in jax.tree.leaves(o8)), "AMP FSDP opt state replicated"
+
+
 def test_fsdp_rule_default_at_vit_s_geometry():
     """The production default (min_shard=4096 elements per device) must,
     at the real ViT-S/8 MIM geometry, shard every weight matrix and

@@ -10,8 +10,9 @@ actual reference sources mounted at /root/reference:
   installed here and those names are unused on this path).
 
 The fast test runs the full ViT-S geometry (embed 384, depth 12, heads 6,
-patch 8) at 96^2; the @slow test is the paper's headline 384^2 eval scale
-end-to-end through the real threshold() (eval.py:135-177).
+patch 8) at 96^2; the 384^2 test is the paper's headline eval scale
+end-to-end through the real threshold() (eval.py:135-177) — formerly
+@slow, promoted into the default suite (VERDICT r2 item 8).
 """
 
 import sys
