@@ -140,6 +140,40 @@ def test_sw_processing_stream_mode(tmp_path, monkeypatch):
         assert (out1 / f).exists()
 
 
+def test_sw_processing_quant_int8_flag(tmp_path, monkeypatch):
+    """--quant int8 drives the full CLI through the dynamic-W8A8 inference
+    path (ops/quant.py) and still writes the artifact set; the module-global
+    mode is restored afterwards so other tests see full precision."""
+    import numpy as np
+    from PIL import Image
+
+    import sw_processing
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig, set_infer_quant
+    from vit_ocm_wmsegmentation_tpu.ops import quant
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params = vit.init(cfg, __import__("jax").random.PRNGKey(0))
+    monkeypatch.setattr(sw_processing, "load_model",
+                        lambda *a, **k: (params, cfg, "random"))
+
+    rng = np.random.default_rng(7)
+    img = tmp_path / "m.png"
+    Image.fromarray((rng.random((64, 64)) * 255).astype(np.uint8)).save(img)
+    out = tmp_path / "out"
+    monkeypatch.setattr(sys, "argv", [
+        "sw_processing.py", "--image_path", str(img), "--image_size", "96",
+        "--window_size", "48", "--stride", "16", "--output_dir", str(out),
+        "--quant", "int8"])
+    try:
+        sw_processing.main()
+        assert quant.MODE == "int8"  # the flag actually reached the op layer
+    finally:
+        set_infer_quant("auto")
+    for f in ("attention_map_sw.jpg", "otsu_sw_heatmap.jpg", "otsu_sw.jpg"):
+        assert (out / f).exists()
+
+
 def test_sweep_false_bool_arm_sends_empty_string():
     """The entry scripts keep the reference's type=bool flags where
     bool('False') is True; a false grid arm must go over as '' or both

@@ -435,3 +435,63 @@ def test_train_mim_pipeline_parallel_end_to_end(tmp_path):
         simmim_mod.mim_vit_config = orig
     assert len(history2) == 1  # resumed at epoch 2 of 3
     assert params2["blocks"]["attn"]["wqkv"].shape[0] == 2
+
+
+def test_train_mim_fsdp_end_to_end(tmp_path):
+    """cfg.TRAIN.FSDP routes train_mim through the ZeRO-3 step on the
+    8-virtual-device dp mesh: the loop trains with params + Adam moments
+    actually 1/8-sharded, the orbax checkpoint round-trips the sharded
+    state, and AUTO_RESUME continues with the full optimizer state."""
+    from vit_ocm_wmsegmentation_tpu.parallel import make_mesh
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(8):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.jpg")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SAVE_FREQ = 1
+    cfg.TRAIN.FSDP = True
+    # production min_shard (4096 el/device) is sized for ViT-S leaves; the
+    # tiny test model needs a smaller floor to shard anything at all
+    cfg.TRAIN.FSDP_MIN_SHARD = 32
+
+    import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+
+    orig = simmim_mod.mim_vit_config
+    simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
+    )
+
+    def local_fraction(leaf):
+        shard = leaf.addressable_shards[0].data
+        return shard.size / leaf.size
+
+    try:
+        loader = build_simmim_loader(str(img_dir), batch_size=8, img_size=32,
+                                     mask_patch_size=8, model_patch_size=8,
+                                     mask_ratio=0.5)
+        params, history = train_mim(cfg, loader, eval_fn=None,
+                                    mesh=make_mesh())
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert len(history) == 2 and np.isfinite(history).all()
+    # the returned (live) params are genuinely ZeRO-sharded, not replicated
+    assert local_fraction(params["blocks"]["attn"]["wqkv"]) == 1 / 8
+
+    # resume: one more epoch, optimizer state restored from the sharded save
+    cfg.TRAIN.EPOCHS = 3
+    simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
+    )
+    try:
+        loader2 = build_simmim_loader(str(img_dir), batch_size=8, img_size=32,
+                                      mask_patch_size=8, model_patch_size=8,
+                                      mask_ratio=0.5)
+        params2, history2 = train_mim(cfg, loader2, eval_fn=None,
+                                      mesh=make_mesh())
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert len(history2) == 1 and np.isfinite(history2).all()
+    assert local_fraction(params2["blocks"]["attn"]["wqkv"]) == 1 / 8

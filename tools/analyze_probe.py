@@ -17,7 +17,11 @@ import sys
 
 BASELINE_MS = 49.7   # r3 slope-fit MIM AMP step (BENCH.md)
 BASELINE_MFU = 26.0  # % at 49.7 ms
-GUARD_RTOL = 5e-3    # must match probe_fused_mlp.GUARD_RTOL
+# must match probe_fused_mlp.GUARD_RTOL_LOSS / GUARD_RTOL_GNORM (gnorm is
+# wider: LN-reassociating routes move it ~5e-3 even under the exact
+# interpret evaluator — measured by --smoke; real miscompiles move it 10x+)
+GUARD_RTOL_LOSS = 5e-3
+GUARD_RTOL_GNORM = 2e-2
 
 
 def parse(path):
@@ -71,9 +75,11 @@ def main():
         ok = v not in guard_fails
         drift = None
         if anchor and v in first:
-            drift = max(abs(a - b) / max(1.0, abs(a))
-                        for a, b in zip(anchor, first[v]))
-            ok = ok and drift <= GUARD_RTOL
+            drifts = [abs(a - b) / max(1.0, abs(a))
+                      for a, b in zip(anchor, first[v])]
+            drift = max(drifts)
+            ok = (ok and drifts[0] <= GUARD_RTOL_LOSS
+                  and drifts[1] <= GUARD_RTOL_GNORM)
         rows.append((v, slope, intercept, drift, ok))
         flag = "" if ok else "  <-- GUARD FAIL (do not ship)"
         print(f"{v:24s} {slope:7.2f} ms  (intercept {intercept} ms, "
@@ -82,6 +88,9 @@ def main():
         print(f"{v:24s} ERROR: {err[:120]}")
 
     passing = [r for r in rows if r[4]]
+    if not passing:
+        print("\nno variant passed the guard — keep the shipped defaults")
+        return 1
     best = passing[0]
     mlp, ln_qkv, save_p = defaults_for(best[0])
     mfu = BASELINE_MFU * BASELINE_MS / best[1]

@@ -20,7 +20,12 @@ Variants, all slope-fit (tools/probe_scaling.py methodology):
              targets the measured VPU-transcendental bound of the
              attention bwd (ops/flash_attention.SAVE_P)
 
-Usage: python tools/probe_fused_mlp.py [variant ...]
+Usage: python tools/probe_fused_mlp.py [--smoke] [variant ...]
+
+--smoke: tiny geometry + Pallas interpret mode on CPU — validates the whole
+probe harness (variant plumbing, guard, slope fit) without a TPU, so a
+Python-level bug can never burn the relay window. Timing output is
+meaningless in this mode; only the exit code and guard verdicts matter.
 """
 
 import json
@@ -73,7 +78,7 @@ def fit(name, fn, x0_factory, ns):
     return sl
 
 
-def probe(variant):
+def probe(variant, smoke=False):
     from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
 
     mode = variant
@@ -88,8 +93,18 @@ def probe(variant):
         vit_mod.LN_QKV = "kernel"
         mode = mode[: -len("+lnqkv")] or "baseline"
     vit_mod.MLP_REMAT = None if mode == "baseline" else mode
-    vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
-                        pretrain_img_size=224)
+    if smoke:
+        # CPU harness validation: tiny shapes, interpret-mode kernels (the
+        # savep flag is set but the flash kernel itself only runs on TPU —
+        # its numerics are pinned by tests/test_flash_attention.py)
+        vit_mod.FUSED_MLP_INTERPRET = True
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                            pretrain_img_size=32)
+        batch, img = 4, 32
+    else:
+        vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
+                            pretrain_img_size=224)
+        batch, img = 60, 224
     params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
     cfg = default_config()
     tx = build_optimizer(cfg, params, lambda t: 1e-4)
@@ -97,9 +112,9 @@ def probe(variant):
     step = make_train_step(vit_cfg, tx, amp=True)
 
     rng = np.random.default_rng(0)
-    g = 224 // 8
-    x = jnp.asarray(rng.random((60, 224, 224, 3)).astype(np.float32))
-    mask = jnp.asarray((rng.random((60, g, g)) > 0.6).astype(np.int32))
+    g = img // 8
+    x = jnp.asarray(rng.random((batch, img, img, 3)).astype(np.float32))
+    mask = jnp.asarray((rng.random((batch, g, g)) > 0.6).astype(np.int32))
 
     def run(state):
         p, o, loss, gn = step(state[0], state[1], x, mask)
@@ -119,25 +134,36 @@ def probe(variant):
     print(json.dumps({"variant": variant, "first_loss": round(loss, 6),
                       "first_gnorm": round(gn, 5)}), flush=True)
 
-    fit(f"mim_step_{variant}", run, lambda: fresh(state_keep), [1, 2, 4, 8, 16])
+    fit(f"mim_step_{variant}", run, lambda: fresh(state_keep),
+        [1, 2] if smoke else [1, 2, 4, 8, 16])
     return loss, gn
 
 
 # bf16 AMP step: variants are grad-exact, so first-step numbers may differ
-# only by bf16 reduction noise
-GUARD_RTOL = 5e-3
+# only by bf16 reduction noise. The grad-norm tolerance is wider than the
+# loss: the lnqkv/kernel routes legitimately reassociate the LN reductions,
+# which moves the global grad-norm by ~5e-3 even under the EXACT interpret
+# evaluator (measured by --smoke) — while the one real Mosaic miscompile
+# seen on this backend (stale VMEM scratch, one head corrupted) moved it by
+# orders of magnitude. loss stays the tight alarm.
+GUARD_RTOL_LOSS = 5e-3
+GUARD_RTOL_GNORM = 2e-2
 
 
 def main():
+    args = list(sys.argv[1:])
+    smoke = "--smoke" in args
+    if smoke:
+        args.remove("--smoke")
     anchor = None  # baseline's (loss, gnorm)
     rc = 0
-    for variant in sys.argv[1:] or ["baseline", "gelu", "gelu+ln", "kernel",
-                                    "kernel+lnqkv", "gelu+lnqkv", "savep",
-                                    "gelu+lnqkv+savep", "kernel+lnqkv+savep"]:
+    for variant in args or ["baseline", "gelu", "gelu+ln", "kernel",
+                            "kernel+lnqkv", "gelu+lnqkv", "savep",
+                            "gelu+lnqkv+savep", "kernel+lnqkv+savep"]:
         # a variant that fails to compile (the Pallas kernels have only met
         # the interpret-mode evaluator so far) must not sink the others
         try:
-            nums = probe(variant)
+            nums = probe(variant, smoke=smoke)
         except Exception as e:  # noqa: BLE001 - survey probe, report + go on
             print(json.dumps({"workload": f"mim_step_{variant}",
                               "error": repr(e)[:500]}), flush=True)
@@ -145,8 +171,8 @@ def main():
         if anchor is None:
             anchor = nums
             continue
-        drift = max(abs(a - b) / max(1.0, abs(a)) for a, b in zip(anchor, nums))
-        if drift > GUARD_RTOL:
+        drifts = [abs(a - b) / max(1.0, abs(a)) for a, b in zip(anchor, nums)]
+        if drifts[0] > GUARD_RTOL_LOSS or drifts[1] > GUARD_RTOL_GNORM:
             print(json.dumps({"PROBE_GUARD_FAIL": variant,
                               "first_step": nums, "baseline": anchor,
                               "note": "Mosaic miscompile suspected; do NOT "

@@ -13,6 +13,10 @@ One workload per process (fresh mid-script compiles pollute the tunnel):
     python tools/probe_int8.py mha      # mha_flash quant on vs off, mosaic shape
     python tools/probe_int8.py mosaic   # full 1152^2 graph, Dice gate + MP/s A/B
 
+--smoke (before the workload name) shrinks every shape so the whole probe
+runs on CPU in seconds — harness validation only (numbers meaningless), so
+a Python-level bug can never burn the relay window.
+
 Decision rule: ship --quant int8 guidance in BENCH.md only if `mosaic`
 shows a real MP/s win AND its Dice-vs-f32 gate passes at the headline
 scale; otherwise the mode stays a tested opt-in.
@@ -39,7 +43,9 @@ except Exception:
 from probe_scaling import fit_and_report  # noqa: E402  (same dir)
 
 
-def rawdot_workloads(m=112896, k=384, h=1536):
+def rawdot_workloads(m=112896, k=384, h=1536, smoke=False):
+    if smoke:
+        m, k, h = 256, 64, 128
     """Paired matmul x@W1@W2 at the ViT-S MLP shape: the bf16 baseline
     (probe_scaling's 176.7 TF/s row) against the same chain with int8
     operands and int32 accumulation, including the per-row dynamic
@@ -76,12 +82,12 @@ def rawdot_workloads(m=112896, k=384, h=1536):
     return run_bf16, run_int8, x0, 2 * m * k * h * 2
 
 
-def mha_workloads():
+def mha_workloads(smoke=False):
     """The full MHSA block at the mosaic shape, quantized projections vs
     bf16 (probe_scaling's 6.0 ms/layer row is the baseline)."""
     from vit_ocm_wmsegmentation_tpu.ops.flash_attention import mha_flash
 
-    b, n, dm, h = 49, 2305, 384, 6
+    b, n, dm, h = (2, 37, 64, 2) if smoke else (49, 2305, 384, 6)
     rng = np.random.default_rng(0)
     params = {
         "wqkv": jnp.asarray(rng.normal(0, 0.03, (dm, 3 * dm)), jnp.bfloat16),
@@ -90,15 +96,16 @@ def mha_workloads():
         "bo": jnp.asarray(rng.normal(0, 0.03, (dm,)), jnp.bfloat16),
     }
 
-    run_bf16 = jax.jit(lambda x: mha_flash(x, params, h))
-    run_int8 = jax.jit(lambda x: mha_flash(x, params, h, quant=True))
+    run_bf16 = jax.jit(lambda x: mha_flash(x, params, h, interpret=smoke))
+    run_int8 = jax.jit(lambda x: mha_flash(x, params, h, quant=True,
+                                           interpret=smoke))
     x0 = jnp.asarray(rng.normal(0, 1, (b, n, dm)), jnp.bfloat16)
     d = dm // h
     fl = 4 * b * h * n * n * d + 2 * b * n * dm * 4 * dm
     return run_bf16, run_int8, x0, fl
 
 
-def mosaic_ab():
+def mosaic_ab(smoke=False):
     """Full headline graph A/B with the accuracy gate: int8 masks must stay
     Dice > 0.98 against the f32 pipeline before the timing comparison means
     anything. The gate is 0.98 (not bench.py's bf16 0.99) because 0.98x is
@@ -109,8 +116,10 @@ def mosaic_ab():
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
     from vit_ocm_wmsegmentation_tpu.models import vit
 
-    size, window, stride = 1152, 384, 128
-    cfg = vit.VIT_SMALL(patch_size=8)
+    size, window, stride = (96, 48, 16) if smoke else (1152, 384, 128)
+    cfg = (vit.ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                         pretrain_img_size=48) if smoke
+           else vit.VIT_SMALL(patch_size=8))
     params32 = vit.init(cfg, jax.random.PRNGKey(0))
     params = pl.cast_params(params32, jnp.bfloat16)
     rng = np.random.default_rng(0)
@@ -139,27 +148,34 @@ def mosaic_ab():
 
 
 def main():
-    if len(sys.argv) < 2:
-        raise SystemExit("usage: probe_int8.py {rawdot|mha|mosaic}  (one "
-                         "workload per process; see module docstring)")
-    which = sys.argv[1]
+    args = list(sys.argv[1:])
+    smoke = "--smoke" in args
+    if smoke:
+        args.remove("--smoke")
+    if not args:
+        raise SystemExit("usage: probe_int8.py [--smoke] {rawdot|mha|mosaic} "
+                         "(one workload per process; see module docstring)")
+    which = args[0]
     if which == "rawdot":
-        b16, i8, x0, fl = rawdot_workloads()
-        fit_and_report("mlp_pair_bf16", b16, x0, [1, 4, 16, 64], fl)
-        fit_and_report("mlp_pair_int8_dynamic", i8, x0, [1, 4, 16, 64], fl)
+        b16, i8, x0, fl = rawdot_workloads(smoke=smoke)
+        ns = [1, 2] if smoke else [1, 4, 16, 64]
+        fit_and_report("mlp_pair_bf16", b16, x0, ns, fl)
+        fit_and_report("mlp_pair_int8_dynamic", i8, x0, ns, fl)
     elif which == "mha":
-        b16, i8, x0, fl = mha_workloads()
-        fit_and_report("mha_block_bf16", b16, x0, [1, 4, 16, 32], fl)
-        fit_and_report("mha_block_int8_proj", i8, x0, [1, 4, 16, 32], fl)
+        b16, i8, x0, fl = mha_workloads(smoke=smoke)
+        ns = [1, 2] if smoke else [1, 4, 16, 32]
+        fit_and_report("mha_block_bf16", b16, x0, ns, fl)
+        fit_and_report("mha_block_int8_proj", i8, x0, ns, fl)
     elif which == "mosaic":
         from vit_ocm_wmsegmentation_tpu.models import vit
 
-        run, img, mp = mosaic_ab()
+        run, img, mp = mosaic_ab(smoke=smoke)
+        ns = [1, 2] if smoke else [1, 2, 4, 8]
         vit.set_infer_quant("none")
-        fit_and_report("mosaic_1152_bf16", jax.jit(run), img, [1, 2, 4, 8],
+        fit_and_report("mosaic_1152_bf16", jax.jit(run), img, ns,
                        mp_per_iter=mp)
         vit.set_infer_quant("int8")
-        fit_and_report("mosaic_1152_int8", jax.jit(run), img, [1, 2, 4, 8],
+        fit_and_report("mosaic_1152_int8", jax.jit(run), img, ns,
                        mp_per_iter=mp)
         vit.set_infer_quant("none")
     else:

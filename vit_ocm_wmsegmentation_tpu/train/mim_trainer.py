@@ -228,8 +228,9 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
             )
 
             fsdp = bool(cfg.TRAIN.get("FSDP", False))
-            param_sh = (fsdp_param_sharding(mesh, params) if fsdp
-                        else data_parallel_sharding(mesh, params))
+            min_shard = int(cfg.TRAIN.get("FSDP_MIN_SHARD", 4096))
+            param_sh = (fsdp_param_sharding(mesh, params, min_shard=min_shard)
+                        if fsdp else data_parallel_sharding(mesh, params))
             batch_sh = batch_sharding(mesh)
             params = shard_params(params, param_sh)
             if fsdp:
@@ -241,7 +242,8 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
                 # donated state never silently replicates.
                 from ..parallel.mesh import fsdp_opt_sharding
 
-                opt_sh = fsdp_opt_sharding(mesh, tx, params)
+                opt_sh = fsdp_opt_sharding(mesh, tx, params,
+                                           min_shard=min_shard)
                 opt_state = jax.tree.map(
                     lambda r, s: jax.device_put(np.asarray(r), s),
                     opt_state, opt_sh)

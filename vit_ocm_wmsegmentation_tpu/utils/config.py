@@ -162,6 +162,10 @@ def default_config() -> CfgNode:
                 # fsdp_param_sharding); semantics identical to dp, per-chip
                 # state memory ~|data|x smaller.
                 "FSDP": False,
+                # leaves whose PER-DEVICE shard would fall below this many
+                # elements stay replicated (biases/LN vectors — a
+                # collective per use site buys nothing there)
+                "FSDP_MIN_SHARD": 4096,
                 "LR_SCHEDULER": {
                     "NAME": "cosine",
                     "DECAY_EPOCHS": 30,
