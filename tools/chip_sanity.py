@@ -96,6 +96,27 @@ def step_numbers(mlp_remat, ln_qkv, save_p=False):
          fa.SAVE_P) = saved
 
 
+def int8_infer_numbers():
+    """The dynamic-int8 inference route (ops/quant.py via mha_flash
+    quant=True): the int8 dots accumulate exactly in int32, so chip-vs-CPU
+    can only differ in the f32 quantize/dequantize arithmetic — a route
+    whose XLA int8 lowering miscompiled would blow well past RTOL. Same
+    qkvflat-real geometry as the training variants."""
+    from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
+    from vit_ocm_wmsegmentation_tpu.ops.flash_attention import mha_flash
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    vit_cfg = vit_mod.ViTConfig(patch_size=8, embed_dim=384, depth=2,
+                                num_heads=6, pretrain_img_size=96)
+    params = vit_mod.init(vit_cfg, jax.random.PRNGKey(0))
+    bp = jax.tree.map(lambda a: a[0], params["blocks"]["attn"])
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (4, 145, 384)).astype(np.float32))
+    y = mha_flash(x, bp, 6, quant=True, interpret=not on_tpu)
+    y = np.asarray(y, dtype=np.float64)
+    return float(np.mean(y)), float(np.std(y))
+
+
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "ref" and jax.default_backend() in ("tpu", "axon"):
@@ -115,6 +136,16 @@ def main():
             results[name] = {"error": repr(e)[:500]}
             print(json.dumps({"variant": name, "error": repr(e)[:300]}),
                   flush=True)
+
+    try:
+        m, s = int8_infer_numbers()
+        results["int8_infer"] = {"loss": m, "gnorm": s}  # (mean, std) slots
+        print(json.dumps({"variant": "int8_infer", "out_mean": round(m, 7),
+                          "out_std": round(s, 6)}), flush=True)
+    except Exception as e:  # noqa: BLE001 - survey tool: report, continue
+        results["int8_infer"] = {"error": repr(e)[:500]}
+        print(json.dumps({"variant": "int8_infer", "error": repr(e)[:300]}),
+              flush=True)
 
     if mode == "ref":
         with open(REF_PATH, "w") as f:
