@@ -34,6 +34,38 @@ def test_lars_step_direction_and_decay():
     np.testing.assert_allclose(np.asarray(updates["w"]), -0.1 * trust * g, rtol=1e-5)
 
 
+def test_lars_matches_reference_under_varying_lr():
+    """Multi-step trajectory against a transliteration of the reference
+    optimizer (dino/utils.py:536-561): the momentum buffer is LR-FREE
+    (mu = m*mu + dp; p -= lr*mu), so under a decaying schedule old
+    gradients decay with the CURRENT lr. An implementation that folds lr
+    into mu (mu = m*mu + lr*dp) agrees at step 0 and diverges from step 1
+    on — this pins the reference form (r3 review finding)."""
+    rng = np.random.default_rng(11)
+    p0 = rng.normal(0, 1, (4, 4)).astype(np.float32)
+    grads = [rng.normal(0, 1, (4, 4)).astype(np.float32) for _ in range(4)]
+    lrs = [0.3, 0.1, 0.03, 0.01]
+    m, wd, eta = 0.9, 1e-4, 0.001
+
+    # reference transliteration (torch LARS.step, numpy)
+    p_ref, mu = p0.copy(), np.zeros_like(p0)
+    for lr, g in zip(lrs, grads):
+        dp = g + wd * p_ref
+        q = eta * np.linalg.norm(p_ref) / np.linalg.norm(dp)
+        dp = dp * q
+        mu = m * mu + dp
+        p_ref = p_ref - lr * mu
+
+    params = {"w": jnp.asarray(p0)}
+    tx = dino.lars(learning_rate=lambda t: jnp.asarray(lrs)[t], momentum=m,
+                   weight_decay=wd, eta=eta)
+    state = tx.init(params)
+    for g in grads:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = {"w": params["w"] + updates["w"]}
+    np.testing.assert_allclose(np.asarray(params["w"]), p_ref, rtol=2e-5)
+
+
 def test_multi_crop_groups_resolutions():
     calls = []
 

@@ -222,6 +222,37 @@ def test_gradient_accumulation_matches_big_batch():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_gradient_accumulation_schedule_advances_in_raw_iterations():
+    """The lr schedule's horizon is in RAW iterations (build_schedule), and
+    the reference steps its scheduler with the raw index at each update tick
+    (mim.py:168-171: step_update(epoch*num_steps+idx)). Under
+    optax.MultiSteps the inner count ticks once per k raw steps, so
+    build_optimizer must evaluate the schedule at t*k + k-1 — otherwise the
+    lr decays k-times too slowly (r3 review finding). Discriminator: a
+    schedule that is 0 at raw step 0 and nonzero from raw step 1; with k=2
+    the first update happens at raw idx 1 and must move the params."""
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                        pretrain_img_size=32)
+    params0 = simmim.init(vit_cfg, jax.random.PRNGKey(3))
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 4, 4)) > 0.5).astype(np.int32))
+
+    sched = lambda t: jnp.where(t >= 1, 1e-3, 0.0)
+    cfg = default_config()
+    cfg.TRAIN.ACCUMULATION_STEPS = 2
+    tx = optim.build_optimizer(cfg, params0, sched)
+    step = make_train_step(vit_cfg, tx)
+    p = jax.tree.map(jnp.copy, params0)
+    st = tx.init(p)
+    p, st, _, _ = step(p, st, x, mask)
+    p, st, _, _ = step(p, st, x, mask)  # update tick: raw idx 1, lr 1e-3
+    moved = max(float(jnp.max(jnp.abs(a - b)))
+                for a, b in zip(jax.tree.leaves(p),
+                                jax.tree.leaves(params0)))
+    assert moved > 1e-6, "first accumulation update applied schedule(0)=0"
+
+
 def test_train_mim_end_to_end(tmp_path):
     # synthetic image folder
     img_dir = tmp_path / "imgs"
@@ -435,6 +466,46 @@ def test_train_mim_pipeline_parallel_end_to_end(tmp_path):
         simmim_mod.mim_vit_config = orig
     assert len(history2) == 1  # resumed at epoch 2 of 3
     assert params2["blocks"]["attn"]["wqkv"].shape[0] == 2
+
+
+def test_train_mim_plain_dp_auto_resume(tmp_path):
+    """Plain dp (FSDP off) on the 8-device mesh must AUTO_RESUME: the
+    orbax-restored opt_state comes back committed to device 0, and the
+    jitted mesh step used to raise 'incompatible devices' because the
+    non-FSDP branch never re-placed it (r3 review finding)."""
+    from vit_ocm_wmsegmentation_tpu.parallel import make_mesh
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.default_rng(6)
+    for i in range(8):
+        arr = (rng.random((48, 48, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"im{i}.jpg")
+    cfg = _tiny_cfg(tmp_path)
+    cfg.SAVE_FREQ = 1
+
+    import vit_ocm_wmsegmentation_tpu.models.simmim as simmim_mod
+
+    orig = simmim_mod.mim_vit_config
+    tiny = lambda img, p=8: ViTConfig(
+        patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img
+    )
+    simmim_mod.mim_vit_config = tiny
+    try:
+        loader = build_simmim_loader(str(img_dir), batch_size=8, img_size=32,
+                                     mask_patch_size=8, model_patch_size=8,
+                                     mask_ratio=0.5)
+        _, history = train_mim(cfg, loader, eval_fn=None, mesh=make_mesh())
+        assert len(history) == 2 and np.isfinite(history).all()
+
+        cfg.TRAIN.EPOCHS = 3
+        loader2 = build_simmim_loader(str(img_dir), batch_size=8, img_size=32,
+                                      mask_patch_size=8, model_patch_size=8,
+                                      mask_ratio=0.5)
+        _, history2 = train_mim(cfg, loader2, eval_fn=None, mesh=make_mesh())
+    finally:
+        simmim_mod.mim_vit_config = orig
+    assert len(history2) == 1 and np.isfinite(history2).all()
 
 
 def test_train_mim_fsdp_end_to_end(tmp_path):

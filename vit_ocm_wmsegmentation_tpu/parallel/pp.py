@@ -188,21 +188,18 @@ def make_pp_train_step(vit_cfg, tx, mesh: Mesh, microbatches: int, *,
     unpp_params(params_pp) so on-disk layout stays stage-count-agnostic.
     """
 
+    # the AMP rule and step body are mim_trainer's (one definition for both
+    # builders); kernel mesh stays None — the island manages its own
+    # sharding, GSPMD must not additionally dp-wrap the kernels
+    from ..train.mim_trainer import amp_cast, step_body
+
     def loss_fn(params, x, mask):
         if amp:
-            params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
-                params)
-            x = x.astype(jnp.bfloat16)
+            params, x = amp_cast(params), x.astype(jnp.bfloat16)
         return pp_mim_loss(params, vit_cfg, x, mask, mesh, microbatches,
                            remat=remat)
 
-    def step(params, opt_state, x, mask):
-        loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)
-        gnorm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, gnorm
+    step = step_body(loss_fn, tx, mesh=None)
 
     from .mesh import batch_sharding
 

@@ -350,6 +350,27 @@ def restore_checkpoint(path: str, template: Any):
         return ckptr.restore(os.path.abspath(path), template)
 
 
+def placeholder_like(tree):
+    """Template subtree marker for restore_checkpoint_partial: every leaf
+    becomes orbax's PLACEHOLDER, meaning 'do not read this from disk'."""
+    import orbax.checkpoint as ocp
+
+    return jax.tree.map(lambda _: ocp.PLACEHOLDER, tree)
+
+
+def restore_checkpoint_partial(path: str, template: Any):
+    """Templated restore that skips placeholder_like-marked subtrees with
+    ZERO disk IO for them (StandardCheckpointer rejects placeholders, the
+    PyTree handler honors them). Auto-resume uses it to re-read only the
+    optimizer state: the templateless peek already materialized the params
+    once, and re-reading them doubled resume IO (r3 review finding)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path),
+                             args=ocp.args.PyTreeRestore(item=template))
+
+
 def restore_checkpoint_raw(path: str):
     """Templateless restore: the saved pytree with dict/list containers and
     host numpy arrays. Used to PEEK at a checkpoint whose payload layout

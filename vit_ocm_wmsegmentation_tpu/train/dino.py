@@ -40,9 +40,12 @@ def lars(learning_rate, momentum=0.9, weight_decay=0.0, eta=0.001, wd_mask=None)
     """LARS (dino/utils.py:523-561): layer-wise adaptive rate scaling.
 
     Per-parameter: g <- g + wd*p (masked); trust = eta*||p||/||g|| when both
-    norms are nonzero; momentum buffer mu <- m*mu + lr*trust*g; update -mu.
-    1-d params (biases/norms) skip weight decay and adaptation, like the
-    reference's ndim==1 branch.
+    norms are nonzero; momentum buffer mu <- m*mu + trust*g (LR-FREE, like
+    the reference's mu.mul_(m).add_(dp)); update = -lr*mu, so under a
+    time-varying lr the whole buffer scales by the CURRENT lr each step —
+    old gradients decay with the schedule instead of baking their
+    historical lr into mu. 1-d params (biases/norms) skip weight decay and
+    adaptation, like the reference's ndim==1 branch.
     """
 
     def init(params):
@@ -61,10 +64,10 @@ def lars(learning_rate, momentum=0.9, weight_decay=0.0, eta=0.001, wd_mask=None)
                 gn = jnp.linalg.norm(g)
                 trust = jnp.where((pn > 0) & (gn > 0), eta * pn / jnp.maximum(gn, 1e-38), 1.0)
                 g = g * trust
-            return momentum * mu + lr * g
+            return momentum * mu + g
 
         mus = jax.tree.map(new_mu, grads, params, state["mu"])
-        updates = jax.tree.map(lambda m: -m, mus)
+        updates = jax.tree.map(lambda m: -lr * m, mus)
         return updates, {"mu": mus, "step": step + 1}
 
     return optax.GradientTransformation(init, update)

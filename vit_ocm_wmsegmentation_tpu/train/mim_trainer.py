@@ -31,6 +31,35 @@ from .optim import build_optimizer
 from .schedule import build_schedule
 
 
+def amp_cast(tree):
+    """bf16 compute cast for the AMP step (f32 leaves only; the cast's VJP
+    upcasts cotangents back to f32 master precision). Shared by the plain
+    and pipeline-parallel steps so the AMP rule exists once."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+        tree)
+
+
+def step_body(loss_fn, tx, mesh=None):
+    """The one train-step body both step builders compile:
+    value_and_grad -> global_norm -> tx.update -> apply_updates, with the
+    Pallas kernel dispatch pointed at `mesh` at trace time (a pure-dp mesh
+    shard_maps the kernels; None is a no-op — the pp island manages its own
+    sharding and passes None)."""
+
+    def step(params, opt_state, x, mask):
+        from ..parallel.mesh import kernel_mesh_scope
+
+        with kernel_mesh_scope(mesh):
+            loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)
+        gnorm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, gnorm
+
+    return step
+
+
 def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_sharding_=None,
                     opt_sharding=None, remat=False, amp=False):
     """Compiled MIM step: (params, opt_state, x, mask) ->
@@ -51,24 +80,11 @@ def make_train_step(vit_cfg, tx, *, mesh=None, param_sharding=None, batch_shardi
 
     def loss_fn(params, x, mask):
         if amp:
-            params = jax.tree.map(
-                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params)
-            x = x.astype(jnp.bfloat16)
+            params, x = amp_cast(params), x.astype(jnp.bfloat16)
         loss, _, _ = simmim.mim_loss(params, vit_cfg, x, mask, remat=remat, train=True)
         return loss
 
-    def step(params, opt_state, x, mask):
-        # trace-time: point the Pallas kernel dispatch at the mesh so a
-        # pure-dp mesh shard_maps the kernels instead of leaving GSPMD to
-        # replicate the Mosaic custom calls (parallel/mesh.py)
-        from ..parallel.mesh import kernel_mesh_scope
-
-        with kernel_mesh_scope(mesh):
-            loss, grads = jax.value_and_grad(loss_fn)(params, x, mask)
-        gnorm = optax.global_norm(grads)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, gnorm
+    step = step_body(loss_fn, tx, mesh)
 
     if mesh is not None and param_sharding is not None:
         return jax.jit(
@@ -134,9 +150,18 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         start_epoch = int(resume_raw["epoch"]) + 1
         params = jax.tree.map(jnp.asarray, resume_raw["params"])
         if "opt_state" in resume_raw and "pp_stages" not in resume_raw:
-            restored = ckpt.restore_checkpoint(
-                resume_path, {"params": params, "opt_state": opt_state, "epoch": 0})
-            opt_state = restored["opt_state"]
+            # params were already materialized by the raw peek above; only
+            # the optimizer state (an optax NamedTuple the raw dict tree
+            # can't represent) needs the templated read
+            restored = ckpt.restore_checkpoint_partial(
+                resume_path, {"params": ckpt.placeholder_like(params),
+                              "opt_state": opt_state, "epoch": 0})
+            # orbax restores leaves COMMITTED to device 0; a jitted step over
+            # a >1-device mesh then raises "incompatible devices" (the plain
+            # dp branch passes opt_sharding=None, so nothing re-places them).
+            # Host arrays are placement-free and the step's in_shardings (or
+            # the FSDP branch's explicit device_put) decide the layout.
+            opt_state = jax.tree.map(np.asarray, restored["opt_state"])
             logger.info(f"auto-resumed from {resume_path} at epoch {start_epoch}")
         else:
             # a pp checkpoint resumed into a plain run (stage-shaped
@@ -190,11 +215,13 @@ def train_mim(cfg, loader, eval_fn=None, *, mesh=None, logger=None, use_wandb=Fa
         if resume_raw is not None:
             start_epoch = int(resume_raw["epoch"]) + 1
             if int(resume_raw.get("pp_stages", 0)) == pp_stages:
-                restored = ckpt.restore_checkpoint(
-                    resume_path, {"params": plain_params, "opt_state": opt_state,
+                restored = ckpt.restore_checkpoint_partial(
+                    resume_path, {"params": ckpt.placeholder_like(plain_params),
+                                  "opt_state": opt_state,
                                   "pp_stages": 0, "epoch": 0})
-                params = shard_params(
-                    pp_mod.pp_params(restored["params"], pp_stages), psh)
+                params = shard_params(pp_mod.pp_params(
+                    jax.tree.map(jnp.asarray, resume_raw["params"]),
+                    pp_stages), psh)
                 # orbax returns arrays committed to device 0; re-place each
                 # leaf onto the mesh (param-shaped leaves keep the template's
                 # NamedSharding, scalars like the schedule count replicate)

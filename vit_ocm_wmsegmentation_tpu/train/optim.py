@@ -22,6 +22,15 @@ def build_optimizer(cfg, params, schedule):
     """AdamW/SGD with wd groups + clip, lr driven by the per-step schedule."""
     name = cfg.TRAIN.OPTIMIZER.NAME.lower()
     mask = decay_mask(params)
+    k = int(cfg.TRAIN.ACCUMULATION_STEPS)
+    if k > 1 and callable(schedule):
+        # the schedule horizon is in RAW iterations (build_schedule, matching
+        # the reference's lr_scheduler.step_update(epoch*num_steps+idx),
+        # mim.py:168-171), but under optax.MultiSteps the inner optimizer's
+        # count advances once per k raw iterations — evaluate at the raw
+        # index of the update tick (idx = t*k + k-1) or the lr would decay
+        # k-times too slowly and never reach MIN_LR
+        schedule = (lambda s: lambda t: s(t * k + k - 1))(schedule)
     if name == "adamw":
         tx = optax.adamw(
             learning_rate=schedule,
