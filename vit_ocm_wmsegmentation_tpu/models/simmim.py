@@ -50,19 +50,14 @@ def embed_tokens(params, cfg: ViTConfig, x, mask):
     Factored out so the pipeline-parallel path (parallel/pp.py) can run
     the block stack as a shard_map island between this and tokens_to_grid.
     """
-    b, h, w, _ = x.shape
-    patches = nn.patchify(x, cfg.patch_size)
-    tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32)
-    tok = (tok + params["patch_embed"]["bias"].astype(jnp.float32)).astype(x.dtype)
+    b = x.shape[0]
 
-    wmask = mask.reshape(b, -1, 1).astype(tok.dtype)
-    tok = tok * (1.0 - wmask) + params["mask_token"].astype(tok.dtype) * wmask
+    def substitute_masked(tok):
+        wmask = mask.reshape(b, -1, 1).astype(tok.dtype)
+        return tok * (1.0 - wmask) + params["mask_token"].astype(tok.dtype) * wmask
 
-    cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, cfg.embed_dim))
-    tok = jnp.concatenate([cls, tok], axis=1)
-    gh, gw = h // cfg.patch_size, w // cfg.patch_size
-    tok = tok + vit_mod.interpolate_pos_embed(params, cfg, (gh, gw)).astype(tok.dtype)
-    return tok
+    return vit_mod.prepare_tokens(params, cfg, x,
+                                  patch_hook=substitute_masked)
 
 
 def tokens_to_grid(params, cfg: ViTConfig, tok, gh: int, gw: int):

@@ -143,12 +143,19 @@ def interpolate_pos_embed(params, cfg: ViTConfig, grid_hw):
     return jnp.concatenate([cls_pos, out.reshape(1, gh * gw, d)], axis=1)
 
 
-def prepare_tokens(params, cfg: ViTConfig, x):
-    """(B,H,W,3) image -> (B, 1+gh*gw, D) tokens with CLS + pos embed."""
+def prepare_tokens(params, cfg: ViTConfig, x, *, patch_hook=None):
+    """(B,H,W,3) image -> (B, 1+gh*gw, D) tokens with CLS + pos embed.
+
+    patch_hook(tok): optional transform of the (B, gh*gw, D) patch tokens
+    BEFORE the CLS concat / pos-embed add — SimMIM's mask-token
+    substitution plugs in here (models/simmim.embed_tokens) so the token
+    preparation convention exists exactly once."""
     b, h, w, _ = x.shape
     patches = nn.patchify(x, cfg.patch_size)
     tok = jnp.dot(patches, params["patch_embed"]["kernel"], preferred_element_type=jnp.float32)
     tok = (tok + params["patch_embed"]["bias"].astype(jnp.float32)).astype(x.dtype)
+    if patch_hook is not None:
+        tok = patch_hook(tok)
     cls = jnp.broadcast_to(params["cls_token"].astype(tok.dtype), (b, 1, cfg.embed_dim))
     tok = jnp.concatenate([cls, tok], axis=1)
     pos = interpolate_pos_embed(params, cfg, (h // cfg.patch_size, w // cfg.patch_size))

@@ -17,6 +17,7 @@ scale = 255 / tile_area, rounding half away from zero.
 from __future__ import annotations
 
 import jax
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,8 +32,15 @@ def clahe(img_u8, clip_limit: float = 2.0, grid: int = 8):
     clip = max(int(clip_limit * area / 256.0), 1)
 
     tiles = img_u8.reshape(grid, th, grid, tw).transpose(0, 2, 1, 3).reshape(grid * grid, area)
-    one_hot = tiles[:, :, None].astype(jnp.int32) == jnp.arange(256, dtype=jnp.int32)
-    hists = jnp.sum(one_hot, axis=1).astype(jnp.float32)  # (T, 256)
+    # exact int32 counts via one scatter-add over (tile, value) pairs — the
+    # (T, area, 256) one-hot this replaces materializes ~340 MB of bool
+    # transient at the 1152² call site (same failure shape that OOM'd
+    # ops/threshold.histogram_u8 at scale)
+    flat_idx = (tiles.astype(jnp.int32)
+                + jnp.arange(grid * grid, dtype=jnp.int32)[:, None] * 256)
+    hists = jax.ops.segment_sum(
+        jnp.ones((grid * grid * area,), jnp.int32), flat_idx.ravel(),
+        num_segments=grid * grid * 256).reshape(grid * grid, 256).astype(jnp.float32)
 
     clipped = jnp.minimum(hists, clip)
     excess = jnp.sum(hists - clipped, axis=1, keepdims=True)

@@ -12,6 +12,7 @@ reference quirks are preserved deliberately:
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -74,9 +75,11 @@ def roc_auc(y_true, scores, n_thresholds=256):
     t = (jnp.ravel(y_true) > 0.5).astype(jnp.float32)
     s = jnp.clip(jnp.ravel(scores).astype(jnp.float32), 0.0, 1.0)
     q = jnp.round(s * (n_thresholds - 1)).astype(jnp.int32)
-    bins = jnp.arange(n_thresholds)
-    pos_hist = jnp.sum((q[:, None] == bins) * t[:, None], axis=0)
-    neg_hist = jnp.sum((q[:, None] == bins) * (1 - t)[:, None], axis=0)
+    # one weighted histogram pass each; segment_sum avoids materializing the
+    # (N, n_thresholds) one-hot (callers run this per image OUTSIDE jit,
+    # where nothing CSEs or fuses the naive compare away)
+    pos_hist = jax.ops.segment_sum(t, q, num_segments=n_thresholds)
+    neg_hist = jax.ops.segment_sum(1 - t, q, num_segments=n_thresholds)
     # P(s_pos > s_neg) + 0.5 P(equal), summed over bins
     neg_below = jnp.concatenate([jnp.zeros(1), jnp.cumsum(neg_hist)[:-1]])
     wins = jnp.sum(pos_hist * neg_below) + 0.5 * jnp.sum(pos_hist * neg_hist)

@@ -150,21 +150,6 @@ def otsu_binary_u8(img_u8):
     return mask, t
 
 
-def yen_from_hist(hist, bins):
-    """skimage threshold_yen criterion over the image's [min, max] bin range:
-    argmax of log(P1^2 (1-P1)^2 / (P1_sq * P2_sq)) at the t/t+1 split."""
-    pmf = hist / jnp.sum(hist)
-    p1 = jnp.cumsum(pmf)
-    p1_sq = jnp.cumsum(jnp.square(pmf))
-    p2_sq_rev = jnp.cumsum(jnp.square(pmf[::-1]))[::-1]
-    # crit[t] pairs P1_sq[t] with P2_sq[t+1]
-    denom = p1_sq[:-1] * p2_sq_rev[1:]
-    num = jnp.square(p1[:-1] * (1.0 - p1[:-1]))
-    crit = jnp.log(num / denom)
-    crit = jnp.where(jnp.isfinite(crit), crit, -jnp.inf)
-    return bins[jnp.argmax(crit)]
-
-
 def yen_threshold_u8(img_u8):
     """skimage.filters.threshold_yen on a uint8 image.
 
