@@ -64,6 +64,32 @@ def test_get_config_argparse_mapping(tmp_path):
     assert cfg.PRETRAINED_WEIGHTS == ""
 
 
+def test_opts_override_argparse_defaults(tmp_path):
+    """--opts must beat the argparse DEFAULTS of mapped flags (r3 review
+    finding): previously the _ARG_MAP loop ran after merge_from_list, so
+    `--opts TRAIN.EPOCHS 100` silently reverted to the --epochs default and
+    falsy defaults (WANDB/roi_masking/early_stopping False) clobbered any
+    True set via opts. Opts now merge LAST (yacs convention)."""
+    args = argparse.Namespace(
+        opts=["TRAIN.EPOCHS", "100", "WANDB", "True", "roi_masking", "True",
+              "early_stopping", "True"],
+        arch="vit_small", patch_size=8, batch_size=4, epochs=3,
+        image_size=96, mask_patch_size=16, mask_ratio=0.5, tag="T",
+        output=str(tmp_path), output_dir=str(tmp_path), image_path="",
+        pretrained_weights="", checkpoint_key="teacher", warmup_epochs=1,
+        num_workers=1, wandb=False, loss_operation="max", crop=1,
+        median_filter=1, roi_masking=False, early_stopping=False,
+        eval_dataset_path="",
+    )
+    cfg = get_config(args)
+    assert cfg.TRAIN.EPOCHS == 100
+    assert cfg.WANDB is True
+    assert cfg.roi_masking is True
+    assert cfg.early_stopping is True
+    # flags still map when opts don't name the key
+    assert cfg.DATA.BATCH_SIZE == 4
+
+
 def test_dump_roundtrip():
     cfg = default_config()
     loaded = CfgNode(yaml.safe_load(cfg.dump()))

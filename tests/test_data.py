@@ -68,6 +68,35 @@ def test_prefetch_propagates_errors():
             pass
 
 
+def test_prefetch_slow_consumer_still_gets_sentinel():
+    """The end-of-iteration sentinel must arrive even when the producer
+    finishes while the bounded queue is FULL (a slow consumer): a
+    put_nowait there silently dropped it and the consumer's next() blocked
+    forever (caught as a hang in test_sw_processing_stream_mode)."""
+    import time
+
+    it = prefetch(iter([1, 2, 3]), depth=1)
+    time.sleep(0.5)  # producer exhausts the source against a full queue
+    assert list(it) == [1, 2, 3]  # terminates (no deadlock) with all items
+
+
+def test_prefetch_abandoned_consumer_releases_producer():
+    """A consumer that breaks out early must not strand the producer thread
+    blocked on the bounded queue (r3 review finding: each abandoned epoch
+    leaked a thread pinning depth+1 device-placed batches)."""
+    import time
+
+    it = prefetch(iter([(np.full((2, 2), i), i) for i in range(100)]), depth=2)
+    assert next(it)[1] == 0  # producer is live and blocked on the full queue
+    thread = it._thread
+    it.close()
+    thread.join(timeout=5)
+    assert not thread.is_alive(), "producer thread still blocked after close()"
+    # closed iterator terminates instead of blocking forever
+    with pytest.raises(StopIteration):
+        next(it)
+
+
 def test_loader_skips_unreadable_files(img_dir, capsys):
     bad = img_dir / "zz_bad.jpg"
     bad.write_bytes(b"not an image")

@@ -120,6 +120,16 @@ def simmim_augment(images, key, *, out_size: int, mask_patch_size: int,
         images = images[..., None]
     b, h0, w0, _ = images.shape
     s = out_size
+    # mirror the host MaskGenerator's constructor asserts (mask_generator.py)
+    # — a floored rand_size would return a wrong-shaped token mask and fail
+    # as an opaque broadcast error deep inside the first train step
+    if s % mask_patch_size:
+        raise ValueError(
+            f"image size {s} not divisible by mask_patch_size {mask_patch_size}")
+    if mask_patch_size % model_patch_size:
+        raise ValueError(
+            f"mask_patch_size {mask_patch_size} not divisible by "
+            f"model_patch_size {model_patch_size}")
     rand_size = s // mask_patch_size
     mask_count = int(math.ceil(rand_size * rand_size * mask_ratio))
     mscale = mask_patch_size // model_patch_size

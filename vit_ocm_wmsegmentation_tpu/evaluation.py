@@ -112,9 +112,10 @@ def _crop_attention(params, cfg, crop_image, g, median_size, dtype):
     tiles = crop_image.reshape(g, ch, g, cw, 3).transpose(0, 2, 1, 3, 4).reshape(g * g, ch, cw, 3)
     grids = head_average_attention(params, cfg, tiles.astype(dtype), median_size).astype(jnp.float32)
     p = cfg.patch_size
-    maps = jax.vmap(lambda gr: jnp.repeat(jnp.repeat(gr, p, 0), p, 1))(grids)
-    recon = concat_crops(maps)
-    return smooth_attention(recon[::p, ::p], p, (h, w))
+    # the reference upsamples each grid by p, concatenates, and immediately
+    # strides back down (eval.py:219-231); repeat-then-[::p,::p] is an exact
+    # identity for equal tiles, so concatenate the grids directly
+    return smooth_attention(concat_crops(grids), p, (h, w))
 
 
 @partial(jax.jit, static_argnames=("cfg", "method", "median_size", "dtype"))

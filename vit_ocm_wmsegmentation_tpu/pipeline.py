@@ -294,7 +294,7 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
 
     img_u8 may be a host numpy array (uploaded once) or a device array.
     band_chunk=K groups K tile rows into one dispatch (see
-    _band_update_chunk) — numbers identical, K fewer relay round trips.
+    _band_sweep) — numbers identical, K fewer relay round trips.
     Returns (mask_u8 (H, W) {0,255} device array, attention (H, W) f32
     device array).
     """

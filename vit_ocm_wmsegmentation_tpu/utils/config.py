@@ -259,10 +259,17 @@ def _set_path(cfg: CfgNode, path: str, value):
 
 def update_config(cfg: CfgNode, args) -> CfgNode:
     """Merge argparse args into the tree (reference update_config semantics,
-    minus the can't-override-with-falsy bug: None means 'not passed')."""
+    minus the can't-override-with-falsy bug: None means 'not passed').
+
+    Order: flag mappings first, --opts LAST (the yacs convention — opts are
+    the highest-priority override). The reference merges opts first and
+    then lets every truthy argparse DEFAULT clobber them (config.py:218-221
+    _check_args), so `--opts TRAIN.EPOCHS 100` silently reverted to the
+    --epochs default there; falsy defaults (WANDB, roi_masking,
+    early_stopping) additionally clobbered opts in this repo's r3 ordering.
+    Documented delta: with both `--epochs N` and `--opts TRAIN.EPOCHS M`
+    passed, M wins here (the reference keeps N)."""
     cfg.defrost()
-    if getattr(args, "opts", None):
-        cfg.merge_from_list(args.opts)
     for attr, paths in _ARG_MAP.items():
         if hasattr(args, attr):
             val = getattr(args, attr)
@@ -273,6 +280,8 @@ def update_config(cfg: CfgNode, args) -> CfgNode:
         size = args.image_size
         cfg.DATA.IMG_SIZE = size[0] if isinstance(size, (list, tuple)) else size
         cfg.image_size = size
+    if getattr(args, "opts", None):
+        cfg.merge_from_list(args.opts)
     # output dir templating (config.py:307)
     cfg.OUTPUT = os.path.join(cfg.OUTPUT, cfg.MODEL.NAME, f"{cfg.TAG}_{cfg.DATA.IMG_SIZE}_Experimental_Run")
     os.makedirs(cfg.OUTPUT, exist_ok=True)

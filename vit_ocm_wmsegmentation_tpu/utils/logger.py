@@ -48,7 +48,12 @@ def create_logger(output_dir: str = "", dist_rank: int = 0, name: str = "") -> l
     logger.setLevel(logging.DEBUG)
     logger.propagate = False
 
-    if dist_rank == 0 and not any(isinstance(h, logging.StreamHandler) for h in logger.handlers):
+    # FileHandler subclasses StreamHandler — exclude it, or a logger that
+    # already carries a file handler silently loses its console output
+    has_console = any(isinstance(h, logging.StreamHandler)
+                      and not isinstance(h, logging.FileHandler)
+                      for h in logger.handlers)
+    if dist_rank == 0 and not has_console:
         console = logging.StreamHandler(sys.stdout)
         console.setLevel(logging.DEBUG)
         console.setFormatter(_ConsoleFormatter())
