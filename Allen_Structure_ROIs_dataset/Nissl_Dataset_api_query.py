@@ -8,7 +8,11 @@ QUERY_URL = (
     "http://api.brain-map.org/api/v2/data/query.json?criteria="
     "model::SectionDataSet,rma::criteria,[failed$eq'false'],"
     "products[abbreviation$eq'Mouse'],treatments[name$eq'NISSL'],"
-    "plane_of_section[name$eq'coronal']"
+    "plane_of_section[name$eq'coronal'],"
+    # without the paging options RMA returns only its default first page of
+    # 25 records; the reference requests the full set
+    # (Nissl_Dataset_api_query.py:8-10)
+    "rma::options[start_row$eq0][num_rows$eq1000]"
 )
 
 

@@ -96,6 +96,11 @@ class RoiDatasetGenerator:
         )
         for row in response:
             body = row["image_sync"]
+            # documented delta: the overlap check is per-row. The reference
+            # sets a sticky `overlap` flag it never resets inside this loop
+            # (its `overlap == False` comparison is a no-op statement), so
+            # after the FIRST overlapping row it silently skips every later
+            # row of the response too; here each row is judged on its own.
             if is_overlapping(self.rows, body["section_image_id"], body["x"], body["y"]):
                 print("Warning: overlaped images will not be saved")
                 continue

@@ -86,8 +86,10 @@ def main():
         pseudo_label_fn=pseudo_fn,
     )
     te_labels = te_y if labels else [None] * len(te_x)
+    # the reference's PGT test loop resizes GT masks with cv2's default
+    # INTER_LINEAR (PGT.py:339), unlike finetune's INTER_NEAREST
     test_supervised(apply_fn, params, state, te_x, te_labels, args.H, f"results/{args.name}",
-                    pseudo_label_fn=pseudo_fn)
+                    pseudo_label_fn=pseudo_fn, mask_nearest=False)
 
 
 if __name__ == "__main__":

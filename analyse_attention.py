@@ -146,6 +146,10 @@ def analyse_single(args, params, cfg, img_path):
             for i in range(0, gh // args.query_rate):
                 for j in range(0, gw // args.query_rate):
                     queries.append(i * gh * args.query_rate + j * args.query_rate)
+            if not queries:
+                # query_rate > grid: the reference's loops run zero times and
+                # it writes nothing; jnp.asarray([]) would be a float indexer
+                return
             rows = vit.query_attention_rows(params, cfg, jnp.asarray(x), jnp.asarray(queries))
             rows = np.asarray(rows)[0, :, :, 1:].mean(axis=0).reshape(len(queries), gh, gw)
             for q, qidx in enumerate(queries):

@@ -58,7 +58,10 @@ def main():
         apply_fn, params, state, train_loader, valid_loader,
         epochs=args.epochs, lr=args.base_lr, checkpoint_path=f"files/{args.name}",
     )
-    test_supervised(apply_fn, params, state, te_x, te_y, size, f"results/{args.name}")
+    # the reference's unet test loop resizes GT masks with cv2's default
+    # INTER_LINEAR (unet.py:390), unlike finetune's INTER_NEAREST
+    test_supervised(apply_fn, params, state, te_x, te_y, size, f"results/{args.name}",
+                    mask_nearest=False)
 
 
 if __name__ == "__main__":

@@ -76,8 +76,9 @@ def train_classifier(apply_fn, params, train_batches, eval_batches, *, epochs=3,
         n_seen = 0
         for x, y in train_batches(epoch):
             params, opt_state, loss = train_step(params, opt_state, jnp.asarray(x), jnp.asarray(y))
-            losses.append(float(loss))
-            n_seen += x.shape[0]
+            losses.append(loss)  # device scalar: converting here would stall
+            n_seen += x.shape[0]  # dispatch on a ~30 ms relay sync per batch
+        losses = [float(l) for l in losses]  # one sync point per epoch
         correct = total = 0
         for x, y in eval_batches(epoch):
             c, t = eval_step(params, jnp.asarray(x), jnp.asarray(y))

@@ -320,21 +320,27 @@ def train_supervised(apply_fn, params, state, train_loader, valid_loader, *, epo
 
 
 def test_supervised(apply_fn, params, state, test_x, test_y, image_size, results_dir,
-                    *, pseudo_label_fn=None, logger=print):
+                    *, pseudo_label_fn=None, mask_nearest=True, logger=print):
     """fully_test: per-image metrics + triptych PNGs. Returns the 6 averaged
-    metrics [jaccard, f1, recall, precision, acc, roc] and the mean loss."""
+    metrics [jaccard, f1, recall, precision, acc, roc] and the mean loss.
+
+    mask_nearest: GT-mask resize interpolation. The reference's three test
+    loops differ — finetune.py:301 resizes with INTER_NEAREST, while
+    unet.py:390 and PGT.py:339 use cv2's default INTER_LINEAR — so each
+    entry point passes its own value to keep metric parity per script."""
     os.makedirs(results_dir, exist_ok=True)
     totals = np.zeros(6)
     total_loss = 0.0
     n = len(test_x)
+    jit_apply = jax.jit(lambda p, s, xx: apply_fn(p, s, xx, train=False))
     for i, (xp, yp) in enumerate(zip(test_x, test_y)):
         name = os.path.basename(xp).rsplit(".", 1)[0]
         x = load_image_cv2(xp, image_size)[None]
         if yp is not None:
-            y = load_mask_cv2(yp, image_size, nearest=True)[None, ..., None]
+            y = load_mask_cv2(yp, image_size, nearest=mask_nearest)[None, ..., None]
         else:
             y = np.asarray(pseudo_label_fn(jnp.asarray(x)))
-        logits, _ = apply_fn(params, state, jnp.asarray(x), train=False)
+        logits, _ = jit_apply(params, state, jnp.asarray(x))
         loss = float(dice_loss(logits, jnp.asarray(y)))
         total_loss += loss
         prob = jax.nn.sigmoid(logits)
