@@ -80,6 +80,11 @@ def main():
             drift = max(drifts)
             ok = (ok and drifts[0] <= GUARD_RTOL_LOSS
                   and drifts[1] <= GUARD_RTOL_GNORM)
+        elif v != "baseline":
+            # a truncated/interleaved log lost this variant's first-step
+            # record: the miscompile screen never ran for it, so it must
+            # not be shippable
+            ok = False
         rows.append((v, slope, intercept, drift, ok))
         flag = "" if ok else "  <-- GUARD FAIL (do not ship)"
         print(f"{v:24s} {slope:7.2f} ms  (intercept {intercept} ms, "

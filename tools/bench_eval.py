@@ -40,8 +40,14 @@ def synth_samples(n, size, gray_exact=True):
 
 
 def run(params, cfg, samples, batch, dtype):
-    evaluation.validate(params, cfg, samples[: 2 * max(batch, 1)],
-                        batch_size=batch, dtype=dtype)  # compile
+    # compile BOTH shapes the timed pass will dispatch: the full batch and
+    # the remainder chunk (n % batch) — a fresh compile inside the timed
+    # region would dominate every img/s number over the remote-compile link
+    warm = samples[: 2 * max(batch, 1)]
+    rem = len(samples) % max(batch, 1)
+    if rem:
+        warm = list(warm) + list(samples[:rem])
+    evaluation.validate(params, cfg, warm, batch_size=batch, dtype=dtype)
     t0 = time.perf_counter()
     evaluation.validate(params, cfg, samples, batch_size=batch, dtype=dtype)
     dt = time.perf_counter() - t0

@@ -129,7 +129,7 @@ def main():
 
     if args.preview:
         os.makedirs("/tmp/gigapixel", exist_ok=True)
-        ds = size // 2048
+        ds = max(size // 2048, 1)  # small smoke sizes: full-res preview
         from PIL import Image
 
         Image.fromarray(np.asarray(mask[::ds, ::ds])).save("/tmp/gigapixel/mask_preview.png")

@@ -160,6 +160,12 @@ def main():
     with open(REF_PATH) as f:
         ref = json.load(f)
     bad = []
+    # both directions: a VARIANTS entry dropped without regenerating the
+    # ref would otherwise shrink coverage silently under a green OK line
+    for orphan in set(ref) - set(results):
+        bad.append((orphan, "missing-from-check",
+                    "variant in chip_sanity_ref.json but no longer probed; "
+                    "update VARIANTS or regenerate the ref"))
     for name, got in results.items():
         want = ref.get(name)
         if want is None:

@@ -155,11 +155,19 @@ def main():
     smoke = "--smoke" in args
     if smoke:
         args.remove("--smoke")
-    anchor = None  # baseline's (loss, gnorm)
+    anchor = None  # the BASELINE variant's (loss, gnorm) — never another
+    # variant's: re-anchoring on whichever variant happened to succeed first
+    # would let a miscompiled variant pass unguarded and fail the healthy
+    # ones against it
     rc = 0
-    for variant in args or ["baseline", "gelu", "gelu+ln", "kernel",
-                            "kernel+lnqkv", "gelu+lnqkv", "savep",
-                            "gelu+lnqkv+savep", "kernel+lnqkv+savep"]:
+    variants = args or ["baseline", "gelu", "gelu+ln", "kernel",
+                        "kernel+lnqkv", "gelu+lnqkv", "savep",
+                        "gelu+lnqkv+savep", "kernel+lnqkv+savep"]
+    if variants[0] != "baseline":
+        variants = ["baseline"] + variants
+        print(json.dumps({"note": "prepending baseline: the miscompile "
+                                  "guard anchors on it"}), flush=True)
+    for variant in variants:
         # a variant that fails to compile (the Pallas kernels have only met
         # the interpret-mode evaluator so far) must not sink the others
         try:
@@ -167,8 +175,14 @@ def main():
         except Exception as e:  # noqa: BLE001 - survey probe, report + go on
             print(json.dumps({"workload": f"mim_step_{variant}",
                               "error": repr(e)[:500]}), flush=True)
+            if variant == "baseline":
+                print(json.dumps({"PROBE_GUARD_FAIL": "ALL",
+                                  "note": "baseline itself failed — no "
+                                          "anchor; ship nothing from this "
+                                          "log"}), flush=True)
+                return 1
             continue
-        if anchor is None:
+        if variant == "baseline":
             anchor = nums
             continue
         drifts = [abs(a - b) / max(1.0, abs(a)) for a, b in zip(anchor, nums)]

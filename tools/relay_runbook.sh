@@ -19,16 +19,23 @@
 
 cd /root/repo || exit 1
 echo "runbook start $(date -u)" >> /tmp/relay_watch.log
+# track success in a shell var, NOT by grepping the append-only log — a
+# RELAY_OK line from a previous run would otherwise launch the whole chip
+# sequence against a dead relay
+relay_up=0
 for i in $(seq 1 200); do
-  python -c "
+  if python -c "
 import jax, jax.numpy as jnp
 jax.devices()
 print('RELAY_OK', float(jnp.sum(jnp.ones((8,8)))))
-" >> /tmp/relay_watch.log 2>&1 && break
+" >> /tmp/relay_watch.log 2>&1; then
+    relay_up=1
+    break
+  fi
   echo "attempt $i failed $(date -u)" >> /tmp/relay_watch.log
   sleep 300
 done
-if ! grep -q RELAY_OK /tmp/relay_watch.log; then
+if [ "$relay_up" != 1 ]; then
   echo "runbook gave up $(date -u)" >> /tmp/relay_watch.log
   exit 1
 fi

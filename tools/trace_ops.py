@@ -54,8 +54,6 @@ def aggregate(logdir, n_iters):
     for plane in space.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
-        ev_names = {m.id: m.name for m in plane.event_metadata.values()} or {
-            m.id: m.name for m in plane.event_metadata.values()}
         meta = plane.event_metadata
         for line in plane.lines:
             # XLA op lines carry the per-op events; step lines duplicate time
@@ -67,7 +65,7 @@ def aggregate(logdir, n_iters):
                 totals[name] += ev.duration_ps / 1e9  # -> ms
     if not totals:  # fall back: aggregate every line, noting duplicates
         for plane in space.planes:
-            if "TPU" not in plane.name:
+            if "tpu" not in plane.name.lower():
                 continue
             meta = plane.event_metadata
             for line in plane.lines:
@@ -105,7 +103,10 @@ def mim_fn():
     from vit_ocm_wmsegmentation_tpu.train.optim import build_optimizer
     from vit_ocm_wmsegmentation_tpu.utils.config import default_config
 
-    vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=6,
+    # heads=3 = the reference MIM geometry (d=128) every other probe and
+    # the BENCH 49.7 ms row measure — a heads-6 trace (d=64) would
+    # decompose a DIFFERENT attention/dense mix than the step under study
+    vit_cfg = ViTConfig(patch_size=8, embed_dim=384, depth=4, num_heads=3,
                         pretrain_img_size=224)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
     cfg = default_config()
