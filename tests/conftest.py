@@ -11,8 +11,17 @@ which works any time before the backend is first initialized.
 
 import os
 
+import re
+
 _flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
+if "xla_force_host_platform_device_count" in _flags:
+    # REWRITE an ambient count rather than keep it: the parallel suite is
+    # written for exactly 8 virtual devices, and an inherited =4 would fail
+    # every make_mesh test with opaque mesh-size errors
+    _flags = re.sub(r"--xla_force_host_platform_device_count=\d+",
+                    "--xla_force_host_platform_device_count=8", _flags)
+    os.environ["XLA_FLAGS"] = _flags
+else:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax

@@ -201,7 +201,7 @@ def test_str2bool_and_finetune_flag(monkeypatch):
     assert args.H == 256  # --image_size wires through when --H is omitted
 
 
-def test_croping_reference_semantics(tmp_path):
+def test_croping_reference_semantics(tmp_path, monkeypatch):
     """ceil + min-clamped boxes: a 500x500 image at crop 384 yields 4 crops
     (partial edge bands KEPT), named <name>_<i>_<j>.jpg like the reference
     (croping.py:21-36)."""
@@ -214,14 +214,10 @@ def test_croping_reference_semantics(tmp_path):
     src.mkdir()
     Image.fromarray(np.zeros((500, 500, 3), np.uint8)).save(src / "im.png")
     out = tmp_path / "out"
-    monkeypatch_argv = ["croping.py", "--image_path", str(src),
-                        "--output_dir", str(out), "--crop_size", "384"]
-    old = sys.argv
-    sys.argv = monkeypatch_argv
-    try:
-        croping.main()
-    finally:
-        sys.argv = old
+    monkeypatch.setattr(sys, "argv", ["croping.py", "--image_path", str(src),
+                                      "--output_dir", str(out),
+                                      "--crop_size", "384"])
+    croping.main()
     names = sorted(p.name for p in out.iterdir())
     assert names == ["im_0_0.jpg", "im_0_1.jpg", "im_1_0.jpg", "im_1_1.jpg"]
     assert Image.open(out / "im_1_1.jpg").size == (116, 116)

@@ -126,13 +126,6 @@ def test_validate_chan_vese(dataset, params):
     assert 0.0 <= acc <= 1.0
 
 
-def test_validate_batched_matches_per_image(dataset, params):
-    samples = build_eval_samples(dataset, 32)
-    a1 = evaluation.validate(params, CFG, samples, method="ours")
-    a2 = evaluation.validate(params, CFG, samples, method="ours", batch_size=2)
-    np.testing.assert_allclose(a1, a2, atol=1e-6)
-
-
 def test_validate_batched_kmeans_matches(dataset, params):
     samples = build_eval_samples(dataset, 48)
     a1 = evaluation.validate(params, CFG, samples, method="k-means_ours")

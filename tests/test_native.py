@@ -110,13 +110,24 @@ def test_native_lib_builds_from_source(tmp_path):
         "os.path.exists(n._LIB_PATH) or None;"
         "print(n.available())"
     )
-    # remove the artifact, then let a fresh interpreter rebuild it
+    # move the artifact aside (NOT delete: if the rebuild fails, a finally
+    # puts it back — otherwise every later session silently skips the
+    # whole native suite via the module skipif), then let a fresh
+    # interpreter rebuild it
+    import shutil
+
     import vit_ocm_wmsegmentation_tpu.native as native_mod
 
     so = native_mod._LIB_PATH
+    backup = str(tmp_path / "libocm_native.so.bak")
     if os.path.exists(so):
+        shutil.copy2(so, backup)
         os.remove(so)
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
-    assert r.returncode == 0 and "True" in r.stdout, r.stderr[-500:]
-    assert os.path.exists(so)
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=300)
+        assert r.returncode == 0 and "True" in r.stdout, r.stderr[-500:]
+        assert os.path.exists(so)
+    finally:
+        if not os.path.exists(so) and os.path.exists(backup):
+            shutil.copy2(backup, so)
 

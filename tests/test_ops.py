@@ -410,4 +410,5 @@ def test_blend_fuzz_bit_exact():
         w_th, w_th2, w_th3 = _threshold_oracle(img, attn)
         g_th, g_th2, g_th3 = TH.threshold_ours(jnp.asarray(img), jnp.asarray(attn))
         np.testing.assert_array_equal(np.asarray(g_th), w_th)
+        np.testing.assert_array_equal(np.asarray(g_th2), w_th2)
         np.testing.assert_array_equal(np.asarray(g_th3), w_th3)

@@ -301,9 +301,10 @@ def test_init_distributed_two_processes(tmp_path):
     import sys
     import textwrap
 
-    with socket.socket() as s:  # free port for the coordinator
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
 
     worker = tmp_path / "worker.py"
     worker.write_text(textwrap.dedent("""
@@ -337,15 +338,23 @@ def test_init_distributed_two_processes(tmp_path):
     """))
 
     env = dict(__import__("os").environ, JAX_PLATFORMS="cpu", PYTHONPATH="/root/repo:/root/repo/tests")
-    procs = [
-        subprocess.Popen([sys.executable, str(worker), str(i), str(port), str(tmp_path)],
-                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
-        for i in range(2)
-    ]
-    outs = [p.communicate(timeout=300)[0] for p in procs]
-    for p, o in zip(procs, outs):
-        assert p.returncode == 0, o
-        assert "WORKER_OK" in o, o
+    # the probe socket closes before the coordinator binds (TOCTOU): another
+    # process can claim the port in between, so retry with a fresh one
+    for attempt in range(3):
+        port = free_port()
+        procs = [
+            subprocess.Popen([sys.executable, str(worker), str(i), str(port), str(tmp_path)],
+                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=300)[0] for p in procs]
+        if all(p.returncode == 0 and "WORKER_OK" in o
+               for p, o in zip(procs, outs)):
+            break
+        if attempt == 2:
+            for p, o in zip(procs, outs):
+                assert p.returncode == 0, o
+                assert "WORKER_OK" in o, o
     assert (tmp_path / "main_0.txt").exists()
     assert not (tmp_path / "main_1.txt").exists()
 

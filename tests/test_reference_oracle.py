@@ -40,7 +40,14 @@ def _import_reference():
 
     utils.py imports skimage/sklearn/matplotlib at module level; skimage is
     not installed in this image, so stub exactly the names it imports (they
-    are only used by code paths these tests do not execute)."""
+    are only used by code paths these tests do not execute).
+
+    The REF path entry is removed again after the imports: left in place it
+    would shadow this repo's same-named CLI modules (mim, eval,
+    sw_processing, croping, utils, ...) for any test that imports them
+    LATER in the session — a test-order dependency. The already-imported
+    reference modules stay cached in sys.modules under 'utils'/'dino',
+    names nothing in this repo imports bare."""
     if REF not in sys.path:
         sys.path.insert(0, REF)
     if "skimage" not in sys.modules:
@@ -61,8 +68,12 @@ def _import_reference():
     import matplotlib
 
     matplotlib.use("Agg")
-    import dino.vision_transformer as ref_vits  # noqa: the reference module
-    import utils as ref_utils
+    try:
+        import dino.vision_transformer as ref_vits  # noqa: the reference module
+        import utils as ref_utils
+    finally:
+        while REF in sys.path:
+            sys.path.remove(REF)
 
     assert ref_vits.__file__.startswith(REF) and ref_utils.__file__.startswith(REF)
     return ref_vits, ref_utils

@@ -92,7 +92,6 @@ def test_train_step_reduces_loss():
     cfg = _tiny_cfg("/tmp")
     vit_cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
     params = simmim.init(vit_cfg, jax.random.PRNGKey(0))
-    sched = schedule.build_schedule(cfg, 1)
     tx = optim.build_optimizer(cfg, params, lambda t: 1e-3)
     opt_state = tx.init(params)
     step = make_train_step(vit_cfg, tx)
@@ -318,16 +317,34 @@ def test_train_mim_bare_vit_pretrained_weights(tmp_path):
     orig = simmim_mod.mim_vit_config
     simmim_mod.mim_vit_config = lambda img, p=8: ViTConfig(
         patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=img)
+    # spy on the load so the test can assert the checkpoint REALLY
+    # initialized the encoder (a silent fallthrough to the reference-style
+    # random-init fallback used to keep this test green — r3 review finding)
+    loaded = {}
+    orig_load = ckpt_mod.load_mim_or_vit_checkpoint
+
+    def spy_load(*a, **k):
+        out = orig_load(*a, **k)
+        loaded["params"] = jax.tree.map(np.asarray, out)
+        return out
+
+    ckpt_mod.load_mim_or_vit_checkpoint = spy_load
     try:
         loader = build_simmim_loader(str(img_dir), batch_size=2, img_size=32,
                                      mask_patch_size=8, model_patch_size=8, mask_ratio=0.5)
         params, history = train_mim(cfg, loader, eval_fn=None)
     finally:
         simmim_mod.mim_vit_config = orig
+        ckpt_mod.load_mim_or_vit_checkpoint = orig_load
     assert np.isfinite(history).all()
-    # the encoder really came from the checkpoint (cls_token is pre-update
-    # only at epoch>0 start; compare patch_embed after 2 tiny epochs moved
-    # little) — weaker but sufficient: the loaded tree kept the decoder
+    # the encoder weights at load time equal the saved bare-ViT tree (exact
+    # load, not a random re-init), while the fresh mask_token/decoder remain
+    assert "params" in loaded, "PRETRAINED_WEIGHTS never reached the loader"
+    np.testing.assert_allclose(
+        loaded["params"]["blocks"]["attn"]["wqkv"],
+        np.asarray(src["blocks"]["attn"]["wqkv"]), atol=1e-6)
+    np.testing.assert_allclose(loaded["params"]["cls_token"],
+                               np.asarray(src["cls_token"]), atol=1e-6)
     assert "decoder" in params and "mask_token" in params
 
 

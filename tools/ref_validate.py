@@ -210,12 +210,19 @@ def import_reference_eval():
     install_stubs()
     if REF not in sys.path:
         sys.path.insert(0, REF)
-    import dino.vision_transformer as ref_vits
+    try:
+        import dino.vision_transformer as ref_vits
 
-    spec = importlib.util.spec_from_file_location("ref_eval", REF + "/eval.py")
-    ref_eval = importlib.util.module_from_spec(spec)
-    sys.modules["ref_eval"] = ref_eval
-    spec.loader.exec_module(ref_eval)
+        spec = importlib.util.spec_from_file_location("ref_eval", REF + "/eval.py")
+        ref_eval = importlib.util.module_from_spec(spec)
+        sys.modules["ref_eval"] = ref_eval
+        spec.loader.exec_module(ref_eval)
+    finally:
+        # leaving REF on sys.path would shadow this repo's same-named CLI
+        # modules (mim/eval/utils/...) for anything imported later in the
+        # same process — a test-order dependency (r3 review finding)
+        while REF in sys.path:
+            sys.path.remove(REF)
     assert ref_vits.__file__.startswith(REF)
     # this image's sklearn returns Python floats; the reference's called
     # `.item()` on the (then-)numpy scalars — restore the old return type,
