@@ -40,6 +40,9 @@ def get_args():
     parser.add_argument("--image_size", type=int, default=224)
     parser.add_argument("--from_scratch", action="store_true",
                         help="skip pretrained init (the reference's SwinModel(config) arm)")
+    parser.add_argument("--amp", action="store_true",
+                        help="bf16 compute / f32 master mixed precision "
+                             "(the repo-wide MIM AMP rule)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--output_dir", type=str, default="swin_allen_output",
                         help="best checkpoint + history destination "
@@ -112,6 +115,7 @@ def main():
         make_batches(train, args.batch_size, args.image_size, train=True, seed=args.seed),
         make_batches(val, args.batch_size, args.image_size, train=False, seed=args.seed),
         epochs=args.epochs, lr=5e-5, grad_accum=4, steps_per_epoch=steps,
+        amp=args.amp,
     )
     print("final:", history[-1])
     # persist like the reference (train.py:165-173 trainer.save_model +

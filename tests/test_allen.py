@@ -60,6 +60,36 @@ def test_classifier_learns_synthetic_classes():
     assert history[-1]["eval_accuracy"] > 0.9
 
 
+def test_classifier_learns_with_amp():
+    """--amp (bf16 compute / f32 master, the MIM AMP rule) must still learn
+    the synthetic classes, and the returned master params must stay f32."""
+    cfg = swin.SwinConfig(img_size=16, patch_size=4, embed_dim=16, depths=(2,),
+                          num_heads=(2,), window=4, num_classes=2)
+    params = swin.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+
+    def batches(train):
+        def gen(epoch):
+            for _ in range(10):
+                y = rng.integers(0, 2, 8).astype(np.int32)
+                base = np.where(y[:, None, None, None] == 1, 0.8, 0.2)
+                x = (base + rng.normal(0, 0.05, (8, 16, 16, 3))).astype(np.float32)
+                yield x, y
+
+        return gen
+
+    def apply_fn(p, x):
+        return swin.apply(p, cfg, x)
+
+    best, history = train_classifier(apply_fn, params, batches(True), batches(False),
+                                     epochs=3, lr=1e-2, grad_accum=1, steps_per_epoch=10,
+                                     logger=lambda *_: None, amp=True)
+    assert history[-1]["eval_accuracy"] > 0.9
+    import jax.numpy as jnp
+
+    assert all(a.dtype != jnp.bfloat16 for a in jax.tree.leaves(best))
+
+
 # ---------------------------------------------------------------------------
 # ROI generator
 # ---------------------------------------------------------------------------

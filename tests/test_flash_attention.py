@@ -327,6 +327,10 @@ def test_scan_blocks_train_routes_folded(monkeypatch):
 
     monkeypatch.setattr(fa, "mha_flash", fake_mha_flash)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # this test is about attention fold routing; pin the MLP route off so
+    # the shipped MLP_REMAT="kernel" default doesn't dispatch a real (non-
+    # interpret) Pallas call on the faked-"tpu" CPU backend
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
     vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth, train=True)
     assert seen and all(rows == 17 and nv is None and folded
                         for rows, nv, folded in seen)

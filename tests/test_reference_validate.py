@@ -102,6 +102,131 @@ def _run_both(pair, dataset_dir, method, crop):
                     f"validate() (method={method}, crop={crop})")
 
 
+def _run_both_envelope(pair, dataset_dir, method, crop, seeds=(1, 2, 3, 12345)):
+    """k-means variant of _run_both (VERDICT r3 next #4): cv2.kmeans
+    (KMEANS_RANDOM_CENTERS, eps=1.0) stops at center movement < 1.0, so its
+    final centers — and therefore a few dozen boundary-pixel assignments per
+    mask — depend on the RNG seed; exact meter equality is unattainable
+    without replicating cv2's RNG bit-for-bit (PARITY.md "cv2 k-means
+    seeded-init envelope"). The honest oracle: run the reference's executed
+    validate() across several cv2 seeds and assert our deterministic-Lloyd
+    meters lie inside the observed per-metric envelope (widened by one
+    envelope width per side for the sparse seed sampling + 5e-5 numeric
+    slack). Measured: our deltas are ~1e-3, the seed envelope is 1-6e-3, and
+    a genuinely wrong mask (polarity flip, wrong blend) moves meters by
+    0.05-0.5 — two orders of magnitude outside."""
+    import cv2
+
+    params, model = pair
+    wants = []
+    for seed in seeds:
+        cv2.setRNGSeed(seed)
+        args = ref_validate.make_args(dataset_dir, image_size=SIZE,
+                                      method=method, crop=crop)
+        wants.append(ref_validate.run_reference_validate(model, args))
+    cv2.setRNGSeed(12345)  # leave a pinned state for any later cv2 use
+
+    samples = build_eval_samples(dataset_dir, SIZE, crop=crop)
+    meters = {}
+    evaluation.validate(params, CFG, samples, method=method, crop=crop,
+                        meters_out=meters)
+    assert meters["loss"].count == wants[0]["n"] == 3
+    for key in ("loss", "acc", "f1", "precision", "recall", "jaccard"):
+        vals = [w[key] for w in wants]
+        lo, hi = min(vals), max(vals)
+        width = hi - lo
+        got = meters[key].avg
+        assert lo - width - 5e-5 <= got <= hi + width + 5e-5, (
+            f"meter {key!r} = {got} outside the reference's cv2-seed "
+            f"envelope [{lo}, {hi}] (method={method})")
+
+
+def test_validate_metrics_match_reference_kmeans(pair, dataset_dir):
+    """eval.py:178-181 `k-means` (cluster the raw gray pixel triplets,
+    paint centers, Otsu) — executed-reference parity at the seed envelope."""
+    _run_both_envelope(pair, dataset_dir, "k-means", 1)
+
+
+def test_validate_metrics_match_reference_kmeans_ours(pair, dataset_dir):
+    """eval.py:178-179 `k-means_ours` (attention-blended image branch of
+    utils.py:118-140) — executed-reference parity at the seed envelope."""
+    _run_both_envelope(pair, dataset_dir, "k-means_ours", 1)
+
+
+@pytest.fixture(scope="module")
+def dataset_dir_one():
+    """Single-image labeled set for the 384² feature-clustering parity run
+    (the reference hard-codes the 48×48 key-grid reshape + 384² bilinear
+    upsample at eval.py:196-199, so image_size must be 384; one image keeps
+    the CPU cost of the 2×(147456×384-point k-means + 384² ViT) bounded)."""
+    from PIL import Image
+
+    import tempfile
+
+    root = Path(tempfile.mkdtemp(prefix="labeled1_"))
+    (root / "images").mkdir()
+    (root / "labels").mkdir()
+    rng = np.random.default_rng(23)
+    base = rng.normal(120, 40, (120, 100))
+    base[20:80, 15:70] += 60
+    img = np.clip(base, 0, 255).astype(np.uint8)
+    lab = np.zeros((120, 100), np.uint8)
+    lab[20:80, 15:70] = 255
+    Image.fromarray(img).save(root / "images" / "im0.png")
+    Image.fromarray(lab).save(root / "labels" / "im0.png")
+    return str(root)
+
+
+def test_validate_metrics_match_reference_feature_clustering(pair, dataset_dir_one):
+    """eval.py:186-202 `k-means_feature_clustering` (last-block keys →
+    bilinear 384² upsample → z-score → sklearn 2-means → labels·255),
+    executed end-to-end as the oracle. The ONLY adjustment: the reference's
+    cluster polarity is whatever sklearn's seeded init assigned
+    (utils.py:216 `labels*255`); ours is fixed by the unsupervised
+    bright-is-foreground rule (PARITY.md documented delta), so the same
+    rule is applied to the reference's OUTPUT mask at the module boundary —
+    everything upstream (torch ViT, interpolation, z-scoring, sklearn
+    KMeans) is the reference's own executed code. Measured deltas ≤ 7e-7:
+    unlike cv2's eps=1.0 k-means, sklearn runs to tol=1e-4 convergence, so
+    the two stacks land on the identical partition."""
+    import ref_validate as rv
+
+    params, model = pair
+    ref_eval, _ = rv.import_reference_eval()
+    orig_kf = ref_eval.kmeans_feature
+
+    def oriented(img, feats, **kw):
+        out = np.asarray(orig_kf(img, feats, **kw))
+        g = np.asarray(img[0, 0].detach().cpu())
+        on = out > 0
+        m1 = g[on].mean() if on.any() else -1.0
+        m0 = g[~on].mean() if (~on).any() else -1.0
+        return out if m1 >= m0 else 255 - out
+
+    ref_eval.kmeans_feature = oriented
+    try:
+        args = rv.make_args(dataset_dir_one, image_size=384,
+                            method="k-means_feature_clustering", crop=1)
+        want = rv.run_reference_validate(model, args)
+    finally:
+        ref_eval.kmeans_feature = orig_kf
+
+    samples = build_eval_samples(dataset_dir_one, 384, crop=1)
+    meters = {}
+    evaluation.validate(params, CFG, samples,
+                        method="k-means_feature_clustering", crop=1,
+                        meters_out=meters)
+    assert meters["loss"].count == want["n"] == 1
+    got = {"loss": meters["loss"].avg, "acc": meters["acc"].avg,
+           "f1": meters["f1"].avg, "precision": meters["precision"].avg,
+           "recall": meters["recall"].avg, "jaccard": meters["jaccard"].avg}
+    for key, val in got.items():
+        np.testing.assert_allclose(
+            val, want[key], atol=2e-5, rtol=1e-5,
+            err_msg=f"meter {key!r} diverges from the reference's executed "
+                    f"validate() (method=k-means_feature_clustering)")
+
+
 def test_validate_metrics_match_reference_ours_crop1(pair, dataset_dir):
     _run_both(pair, dataset_dir, "ours", 1)
 

@@ -176,6 +176,28 @@ def main():
     ref_secs = time.time() - t0
     print(f"reference chain: {ref_secs:.0f}s", flush=True)
 
+    # Recompute the reference's blended uint8 + Otsu threshold so the
+    # residual disagreement can be measured against the threshold bins
+    # (error budget, VERDICT r3 next #5). Same math as sw_processing.py's
+    # threshold() (utils-free transliteration of its 5 live lines).
+    attn_mm = (stitched_attn - stitched_attn.min()) / max(
+        float(stitched_attn.max() - stitched_attn.min()), 1e-12)
+    result_ref = (np.asarray(im.convert("L")) * attn_mm / attn_mm.max()).astype(np.uint8)
+    ret, th_chk = cv2.threshold(result_ref, 0, 255,
+                                cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    assert np.array_equal(th_chk, want_mask), "blend recompute diverged"
+    ref_fg = want_mask > 0
+
+    def _dice(a, b):
+        inter = float(np.logical_and(a, b).sum())
+        return 2 * inter / max(float(a.sum() + b.sum()), 1.0)
+
+    # the reference mask's own sensitivity to a one-bin threshold move —
+    # the scale against which any cross-stack residual must be judged
+    jitter = {f"ref_dice_at_thr{d:+d}": round(_dice(ref_fg, result_ref > ret + d), 6)
+              for d in (-1, 1)}
+    print(json.dumps({"otsu_threshold": float(ret), **jitter}), flush=True)
+
     # ---- ours: one fused graph on the TPU ----
     # exact=True thresholds the reference's re-stitched uint8 image
     # bit-exactly (ops.stitch.restitch_u8) — the remaining disagreement is
@@ -190,14 +212,29 @@ def main():
         mask = np.asarray(mask)
         attn = np.asarray(attn)
         agree = float((mask == want_mask).mean())
-        inter = float(np.logical_and(mask > 0, want_mask > 0).sum())
-        dice = 2 * inter / max(float((mask > 0).sum() + (want_mask > 0).sum()), 1.0)
+        dice = _dice(mask > 0, ref_fg)
         attn_err = float(np.abs(attn - stitched_attn).max())
+        # error budget: how far from the Otsu threshold do the disagreeing
+        # pixels sit on the REFERENCE's own blended image? Pixels within
+        # ±N bins flip under a blend perturbation of N/255 — the measured
+        # cross-stack attention noise is ~4.3/255 at the boundary, so the
+        # claim "threshold-boundary sensitivity, not hardware precision"
+        # predicts the residual concentrates at small N.
+        dis = mask != want_mask
+        n_dis = int(dis.sum())
+        budget = {}
+        if n_dis:
+            dist = np.abs(result_ref.astype(np.int32) - int(round(float(ret))))
+            budget = {f"frac_disagree_within_{n}_bins":
+                      round(float((dist[dis] <= n).mean()), 4)
+                      for n in (1, 2, 4, 8)}
         print(json.dumps({
             "compute": tag,
             "mask_pixel_agreement_vs_reference_code": round(agree, 6),
             "dice_vs_reference_code": round(dice, 6),
             "stitched_attention_max_abs_err": round(attn_err, 5),
+            "disagreeing_px": n_dis,
+            **budget,
             "wall_s": round(time.time() - t0, 1),
         }), flush=True)
 

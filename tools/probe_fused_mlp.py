@@ -92,6 +92,13 @@ def probe(variant, smoke=False):
     if mode.endswith("+lnqkv"):
         vit_mod.LN_QKV = "kernel"
         mode = mode[: -len("+lnqkv")] or "baseline"
+    if mode.startswith("kernel@"):
+        # block-size sweep: kernel@256 runs the fused block with
+        # BLOCK_R=256 (vit.py reads fused_mlp.DEFAULT_BLOCK_R at call time)
+        from vit_ocm_wmsegmentation_tpu.ops import fused_mlp
+
+        fused_mlp.DEFAULT_BLOCK_R = int(mode.split("@", 1)[1])
+        mode = "kernel"
     vit_mod.MLP_REMAT = None if mode == "baseline" else mode
     if smoke:
         # CPU harness validation: tiny shapes, interpret-mode kernels (the

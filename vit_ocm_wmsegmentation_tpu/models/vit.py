@@ -164,14 +164,16 @@ def prepare_tokens(params, cfg: ViTConfig, x, *, patch_hook=None):
 
 # Training-path MLP rematerialization mode (see _mlp_forward). Module-level
 # so perf probes can flip it without re-plumbing configs; the shipped
-# default is chosen by on-chip measurement (tools/probe_fused_mlp.py).
-# "kernel" routes the whole LN+MLP residual branch through the Pallas
-# fused-block custom VJP (ops/fused_mlp.py) on TPU. None = the measured
-# 49.7 ms/iter baseline (BENCH.md); the remat/kernel modes stay opt-in
-# until the on-chip probe (blocked by the r3 relay outage) picks a winner.
+# default is chosen by on-chip measurement (tools/probe_fused_mlp.py, r4):
+# "kernel" (the Pallas fused residual+LN+MLP block custom VJP,
+# ops/fused_mlp.py) measured 46.4 ms/iter vs 49.6 baseline on the MIM AMP
+# step — the only variant that beat baseline (pure-XLA remat modes were
+# 60-65 ms; savep 56.5; every lnqkv stack slower; block_r sweep
+# 128/256/512 -> 48.0/47.5/46.4, so DEFAULT_BLOCK_R=512 stands). The probe's
+# cross-variant first-step guard passed (loss drift 3e-6, gnorm 2e-4).
 # _SHIPPED_* are what cfg "auto" restores; the mutable globals below are
 # the live routes (tests/probes may set them directly for one experiment).
-_SHIPPED_MLP_REMAT = None
+_SHIPPED_MLP_REMAT = "kernel"
 MLP_REMAT = _SHIPPED_MLP_REMAT
 
 # Tests only: run the fused MLP kernel in Pallas interpret mode on CPU so
@@ -180,7 +182,11 @@ FUSED_MLP_INTERPRET = False
 
 # Training-path pre-attention norm: "kernel" fuses LN1 into the qkv
 # projection (ops/ln_linear.py) so the LN backward reductions run between
-# the projection's backward dots. None = stock layer_norm + dot.
+# the projection's backward dots. None = stock layer_norm + dot. Measured
+# (tools/probe_fused_mlp.py r4): every +lnqkv stack was SLOWER than its
+# base (gelu 60.9->65.3, kernel 46.4->50.7 ms), so the route stays off —
+# the standalone ln_linear dispatch costs more than the LN fusions it
+# replaces at this shape.
 _SHIPPED_LN_QKV = None
 LN_QKV = _SHIPPED_LN_QKV
 
@@ -203,10 +209,18 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     attention saved-P backward, cfg.TRAIN.ATTN_SAVE_P).
     Returns the effective (MLP_REMAT, LN_QKV, SAVE_P) triple so callers
     can log it.
+
+    Changing any effective mode clears jax's jit caches, mirroring
+    set_infer_quant: the modes are read at TRACE time, so a train graph
+    cached under plain @jax.jit before the switch would silently keep
+    serving the old route. Today's train steps are rebuilt per run via
+    fresh make_train_step closures, but that invariant is one cached
+    decorator away from breaking.
     """
     from ..ops import flash_attention_mod as fa
 
     global MLP_REMAT, LN_QKV
+    prev = (MLP_REMAT, LN_QKV, fa.SAVE_P)
     if mlp_remat not in _MLP_REMAT_CHOICES:
         raise ValueError(
             f"TRAIN.MLP_REMAT={mlp_remat!r} not in {_MLP_REMAT_CHOICES}")
@@ -227,6 +241,8 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
         fa.SAVE_P = fa._SHIPPED_SAVE_P
     else:
         fa.SAVE_P = attn_save_p == "on"
+    if (MLP_REMAT, LN_QKV, fa.SAVE_P) != prev:
+        jax.clear_caches()
     return MLP_REMAT, LN_QKV, fa.SAVE_P
 
 

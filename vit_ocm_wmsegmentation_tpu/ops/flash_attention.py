@@ -196,9 +196,12 @@ def flash_attention(q, k, v, *, block_q: int = DEFAULT_BLOCK_Q, interpret: bool 
 # trading the exp pass for a cheap row-broadcast multiply (e = P * inv)
 # plus one HBM round-trip of P (~1.4 MB/program, far below the kernel's
 # bandwidth headroom) and dropping the s-recompute dot is a net win on
-# paper; tools/probe_fused_mlp.py's "+savep" variants measure it on chip.
+# paper; tools/probe_fused_mlp.py's "+savep" variants measured it on chip
+# (r4): 56.5 ms vs 49.6 baseline on the MIM AMP step — the P round-trip
+# through HBM costs more than the elementwise passes it removes, so the
+# route stays OFF (a tested opt-in for future shapes).
 # _SHIPPED_SAVE_P is the single source of truth for the measured default
-# (flip it here when the probe picks a winner); SAVE_P is the live route,
+# (flip it here if a future probe picks it); SAVE_P is the live route,
 # set via models/vit.set_train_kernel_modes / cfg.TRAIN.ATTN_SAVE_P
 # ("auto" restores the shipped value).
 _SHIPPED_SAVE_P = False

@@ -52,9 +52,33 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _erf_f32(x):
+    """erf for f32 inside the kernel: Mosaic has no erf primitive (the TC
+    lowering raises NotImplementedError, measured on-chip r4), so the kernel
+    carries Eigen's rational expansion erf(x) ≈ x·P(x²)/Q(x²) on [-4, 4]
+    (Eigen MathFunctionsImpl.h generic_fast_erf_float — the same polynomial
+    Eigen-backed XLA CPU erf uses), |err| ≲ 1 ulp f32, i.e. far below the
+    bf16 compute noise of the AMP step and the 1e-4·scale grad-parity gates
+    in tests/test_fused_mlp.py."""
+    z = jnp.clip(x, -4.0, 4.0)
+    z2 = z * z
+    p = z2 * -2.72614225801306e-10 + 2.77068142495902e-08
+    p = z2 * p + -2.10102402082508e-06
+    p = z2 * p + -5.69250639462346e-05
+    p = z2 * p + -7.34990630326855e-04
+    p = z2 * p + -2.95459980854025e-03
+    p = z2 * p + -1.60960333262415e-02
+    p = z * p
+    q = z2 * -1.45660718464996e-05 + -2.13374055278905e-04
+    q = z2 * q + -1.68282697438203e-03
+    q = z2 * q + -7.37332916720468e-03
+    q = z2 * q + -1.42647390514189e-02
+    return p / q
+
+
 def _gelu_pieces(h1):
     """(gelu(h1), gelu'(h1)) in f32, sharing the Φ term."""
-    phi = 0.5 * (1.0 + jax.lax.erf(h1 * _INV_SQRT2))
+    phi = 0.5 * (1.0 + _erf_f32(h1 * _INV_SQRT2))
     return h1 * phi, phi + h1 * (jnp.exp(-0.5 * h1 * h1) * _INV_SQRT2PI)
 
 

@@ -22,6 +22,14 @@ models.vit.set_infer_quant("int8") or the CLIs' --quant flag, and
 accuracy-gated: masks must stay Dice-parity with the f32 pipeline
 (tests/test_quant.py on CPU; tools/probe_int8.py re-gates on chip at the
 headline scale before timing).
+
+Measured verdict (r4, on-chip slope-fit A/B, tools/probe_int8.py; Dice
+gate 0.991 green): the 2x does NOT materialize through XLA's int8
+lowering on v5e — raw MLP pair 2.94 ms int8-dynamic vs 1.44 ms bf16 (the
+per-row quantize/dequantize VPU passes and the lost elementwise-tail
+fusion outweigh the s8 MXU rate), mha block a wash, full 1152^2 mosaic
+130.2 vs 116.1 ms. _SHIPPED_MODE therefore stays None; the mode remains a
+tested opt-in for backends whose int8 lowering keeps the rate.
 """
 
 from __future__ import annotations
@@ -34,7 +42,8 @@ import jax.numpy as jnp
 # vit.MLP_REMAT / attention.DP_KERNEL_INTERPRET: mutated only through
 # models.vit.set_infer_quant, which validates choices and restores the
 # shipped default on "auto".
-_SHIPPED_MODE = None  # None = full-precision (the measured default)
+_SHIPPED_MODE = None  # None = full-precision (measured r4: int8 is slower
+#                       through this backend — see module docstring verdict)
 MODE = _SHIPPED_MODE
 
 

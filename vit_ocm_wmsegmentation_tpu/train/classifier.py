@@ -32,10 +32,18 @@ def hf_linear_schedule(base_lr, total_steps, warmup_ratio=0.1):
     return fn
 
 
-def make_classifier_step(apply_fn: Callable, tx):
-    """apply_fn(params, x) -> logits. Cross-entropy with integer labels."""
+def make_classifier_step(apply_fn: Callable, tx, *, amp=False):
+    """apply_fn(params, x) -> logits. Cross-entropy with integer labels.
+
+    amp=True applies the repo-wide mixed-precision rule (the same one the
+    MIM step uses, train/mim_trainer.py::amp_cast): forward/backward in
+    bf16 on the MXU, master params / grads / AdamW state in f32 — the
+    cast's VJP upcasts cotangents, and the loss reduction is f32."""
+    from .mim_trainer import amp_cast
 
     def loss_fn(params, x, y):
+        if amp:
+            params, x = amp_cast(params), x.astype(jnp.bfloat16)
         logits = apply_fn(params, x)
         return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), y))
 
@@ -48,6 +56,8 @@ def make_classifier_step(apply_fn: Callable, tx):
 
     @jax.jit
     def eval_step(params, x, y):
+        if amp:
+            params, x = amp_cast(params), x.astype(jnp.bfloat16)
         logits = apply_fn(params, x)
         return jnp.sum(jnp.argmax(logits, axis=-1) == y), jnp.asarray(y.shape[0])
 
@@ -55,17 +65,18 @@ def make_classifier_step(apply_fn: Callable, tx):
 
 
 def train_classifier(apply_fn, params, train_batches, eval_batches, *, epochs=3, lr=5e-5,
-                     grad_accum=4, steps_per_epoch=None, logger=print):
+                     grad_accum=4, steps_per_epoch=None, logger=print, amp=False):
     """train_batches/eval_batches: callables (epoch) -> iterator of (x, y)
     numpy arrays, x (B, H, W, 3) float [0,1], y (B,) int. Returns
-    (best_params, history)."""
+    (best_params, history). amp=True: bf16 compute / f32 master precision
+    (see make_classifier_step)."""
     n_steps = (steps_per_epoch or 100) * epochs
     schedule = hf_linear_schedule(lr, max(n_steps // max(grad_accum, 1), 1))
     tx = optax.adamw(schedule, weight_decay=0.0)
     if grad_accum > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     opt_state = tx.init(params)
-    train_step, eval_step = make_classifier_step(apply_fn, tx)
+    train_step, eval_step = make_classifier_step(apply_fn, tx, amp=amp)
 
     best_acc = -1.0
     best_params = jax.tree.map(lambda a: a.copy(), params)  # donation-safe
