@@ -22,6 +22,10 @@ Variants (one per process: `python tools/bench_attn_opt.py <variant>`):
           software pipeline over heads (next head's s-dot emitted before
           this head's exp) — probes whether emission order buys back the
           ~10% gap to the d=64 shape ceiling
+  qkvflat_pipe2   pipe + exp2 (LOG2E folded into the q pre-scale: one VPU
+          multiply per score element removed)
+  qkvflat_pipe2b  pipe + exp2 + bf16 subtract/exp passes (half VPU bytes;
+          numerics probe — Dice-gated before any production use)
 
 Each prints slope ms/iter (one iter = one mosaic-layer's attention:
 B=49, h=6, N=2305, d=64) and useful TF/s.
@@ -326,7 +330,8 @@ def run_qkvflat():
     return run, (qkv,)
 
 
-def kern_qkvflat_pipe(qkv_ref, bias_ref, o_ref, *, heads):
+def kern_qkvflat_pipe(qkv_ref, bias_ref, o_ref, *, heads, expfn=jnp.exp,
+                      sm_bf16=False):
     """qkvflat with an explicit one-ahead software pipeline over heads:
     head h+1's s-dot (MXU) is emitted BEFORE head h's exp pass (VPU), so
     the scheduler has an always-ready independent MXU chain to overlap the
@@ -335,7 +340,16 @@ def kern_qkvflat_pipe(qkv_ref, bias_ref, o_ref, *, heads):
     between the measured 88.7 TF/s and the ~98 TF/s d=64 shape ceiling, or
     is Mosaic already overlapping across the unrolled heads?). Two score
     matrices live at once: +22.5 MB VMEM at N=2305 — still inside the
-    limit."""
+    limit.
+
+    expfn=jnp.exp2 assumes the q section was pre-scaled by LOG2E·d^-1/2
+    (trace-time weight fold in production), removing the ln→log2 VPU
+    multiply from every score element. sm_bf16=True runs the subtract+exp
+    VPU passes on bf16 scores (half the VPU bytes; the denominator still
+    accumulates f32 on the MXU) — a numerics-for-speed probe: the bf16
+    rounding of s−m perturbs p by ≤2^-8 relative, which the denominator
+    normalization mostly cancels; mask-level Dice gating decides
+    shippability, not this probe."""
     rows = qkv_ref.shape[1]
     bias = bias_ref[:]
     dtype = qkv_ref.dtype
@@ -362,7 +376,10 @@ def kern_qkvflat_pipe(qkv_ref, bias_ref, o_ref, *, heads):
         if hh + 1 < heads:
             qn_, kn_, vn_ = load(hh + 1)
             s_next, m_next = score(qn_, kn_)  # MXU work ahead of the exp
-        p = jnp.exp(s - m).astype(dtype)
+        if sm_bf16:
+            p = expfn((s - m).astype(jnp.bfloat16)).astype(dtype)
+        else:
+            p = expfn(s - m).astype(dtype)
         ve = jnp.concatenate([v, ones_pat], axis=1)  # SSA, never a scratch
         oe = jax.lax.dot_general(p, ve, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -376,9 +393,9 @@ def kern_qkvflat_pipe(qkv_ref, bias_ref, o_ref, *, heads):
             s, m, v = s_next, m_next, vn_
 
 
-def run_qkvflat_pipe():
+def run_qkvflat_pipe(expfn=jnp.exp, sm_bf16=False):
     rng = np.random.default_rng(0)
-    scale = D**-0.5
+    scale = D**-0.5 * (LOG2E if expfn is jnp.exp2 else 1.0)
     qkv = rng.normal(0, 1, (B, NP, QKV_COLS))
     qkv[:, :, :DM] *= scale
     qkv = jnp.asarray(qkv, jnp.bfloat16)
@@ -387,7 +404,8 @@ def run_qkvflat_pipe():
     @jax.jit
     def run(x):
         return pl.pallas_call(
-            functools.partial(kern_qkvflat_pipe, heads=H),
+            functools.partial(kern_qkvflat_pipe, heads=H, expfn=expfn,
+                              sm_bf16=sm_bf16),
             grid=(B, 1),
             in_specs=[
                 pl.BlockSpec((1, NP, QKV_COLS), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -423,9 +441,19 @@ def main():
     use_exp2 = which in ("exp2", "split2", "split4", "stagger2", "stagger4",
                          "stagger8", "bf16sm")
     expfn = jnp.exp2 if use_exp2 else jnp.exp
-    if which in ("combo", "qkvflat", "qkvflat_pipe"):
-        run, args = {"combo": run_combo, "qkvflat": run_qkvflat,
-                     "qkvflat_pipe": run_qkvflat_pipe}[which]()
+    if which in ("combo", "qkvflat", "qkvflat_pipe", "qkvflat_pipe2",
+                 "qkvflat_pipe2b"):
+        run, args = {
+            "combo": run_combo, "qkvflat": run_qkvflat,
+            "qkvflat_pipe": run_qkvflat_pipe,
+            # pipe + exp2 (LOG2E folded into the q pre-scale)
+            "qkvflat_pipe2": functools.partial(run_qkvflat_pipe,
+                                               expfn=jnp.exp2),
+            # pipe + exp2 + bf16 softmax passes
+            "qkvflat_pipe2b": functools.partial(run_qkvflat_pipe,
+                                                expfn=jnp.exp2,
+                                                sm_bf16=True),
+        }[which]()
         q = args[0]
         time_variant(which, run, q)
         return

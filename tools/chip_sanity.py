@@ -40,6 +40,14 @@ try:
 except Exception:
     pass
 
+# Pin full-f32 matmuls/convs: TPU XLA's DEFAULT precision runs f32 dots as
+# bf16 passes, which puts a ~0.4% chip-vs-CPU gnorm delta on EVERY variant
+# (measured r4 — the original gate could never pass on chip) and would mask
+# the Mosaic miscompiles this gate exists to catch. With "highest" the XLA
+# portions of the step agree to accumulation noise and the residual delta
+# isolates the Pallas kernels themselves.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "chip_sanity_ref.json")
 
