@@ -334,3 +334,34 @@ def test_scan_blocks_train_routes_folded(monkeypatch):
     vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth, train=True)
     assert seen and all(rows == 17 and nv is None and folded
                         for rows, nv, folded in seen)
+
+
+def test_scan_blocks_unrolled_matches_scan(monkeypatch):
+    """UNROLL_INFER_BLOCKS=True (r4: unrolled inference block loop so XLA's
+    layout assignment keeps the residual stream row-major around the Pallas
+    call instead of relaying out at every scan iteration) must compute
+    exactly what the lax.scan form computes — same per-block math, same
+    order, only the loop construct changes."""
+    import importlib
+
+    fa = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.flash_attention")
+    vit_mod = importlib.import_module("vit_ocm_wmsegmentation_tpu.models.vit")
+    att_mod = importlib.import_module("vit_ocm_wmsegmentation_tpu.ops.attention")
+
+    cfg = vit_mod.ViTConfig(patch_size=8, embed_dim=32, depth=3, num_heads=2,
+                            pretrain_img_size=32)
+    params = vit_mod.init(cfg, jax.random.PRNGKey(1))
+    x = jnp.asarray(np.random.default_rng(5).normal(0, 1, (2, 17, 32)).astype(np.float32))
+
+    def fake_mha_flash(xx, p, heads, *, n_valid=None, prefer_folded=False,
+                       interpret=False, quant=False):
+        return att_mod.mha_fused(xx, p, heads)
+
+    monkeypatch.setattr(fa, "mha_flash", fake_mha_flash)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    want = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
+    monkeypatch.setattr(vit_mod, "UNROLL_INFER_BLOCKS", True)
+    got = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=1e-6)

@@ -170,6 +170,9 @@ def mosaic_workload():
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
     from vit_ocm_wmsegmentation_tpu.models import vit
 
+    if os.environ.get("PROBE_UNROLL_BLOCKS") == "1":
+        # A/B knob for the unrolled inference block loop (vit._scan_blocks)
+        vit.UNROLL_INFER_BLOCKS = True
     size, window, stride = 1152, 384, 128
     cfg = vit.VIT_SMALL(patch_size=8)
     params = pl.cast_params(vit.init(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)

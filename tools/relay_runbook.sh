@@ -1,16 +1,19 @@
 #!/bin/bash
-# Relay-return runbook (round 3): the moment the TPU relay answers, run the
+# Relay-return runbook (round 4): the moment the TPU relay answers, run the
 # full chip sequence unattended and leave the evidence in /tmp:
 #
-#   1. tools/probe_fused_mlp.py  -> /tmp/probe_mlp.log   (6 MIM step variants,
-#      slope-fit; cross-variant first-loss miscompile guard)
-#   2. tools/chip_sanity.py check -> /tmp/chip_sanity.log (Mosaic-vs-CPU
-#      numerics gate over every training kernel route)
+#   1. tools/chip_sanity.py check -> /tmp/chip_sanity.log (Mosaic-vs-CPU
+#      numerics gate over every training kernel route, full-f32 precision)
+#   2. tools/bench_attn_opt.py qkvflat/pipe/pipe2/pipe2b -> /tmp/attn_probe.log
+#      (inference-kernel softmax-VPU levers, slope-fit)
 #   3. python bench.py            -> /tmp/bench_relay.log (headline + Dice gate)
+#   4. band_chunk sweep K in {4,8,16} at 8192^2 -> /tmp/band_chunk.log
+#   5. tools/parity_fullscale.py --checkpoint -> /tmp/parity_budget.log
+#      (trained-weights error budget; needs the r3 checkpoint dir)
+#   6. Allen classifier AMP A/B -> /tmp/allen_amp.log
 #
-# Variant selection / BENCH.md updates stay manual (see memory runbook): a
-# human (or the next session) reads /tmp/probe_mlp.log, picks the min-slope
-# variant that passed the guard, and only then flips models/vit.py defaults.
+# Variant selection / BENCH.md updates stay manual: the next session reads
+# the logs, picks winners, and only then flips shipped defaults.
 #
 # Probe attempts are cheap to issue but a relay-down init takes ~25 min to
 # raise (CLAUDE.md "Environment facts"), so the loop polls with a tiny op and
@@ -41,41 +44,38 @@ if [ "$relay_up" != 1 ]; then
 fi
 echo "relay back $(date -u)" >> /tmp/relay_watch.log
 
-echo "== probe_fused_mlp $(date -u)" > /tmp/probe_mlp.log
-python tools/probe_fused_mlp.py >> /tmp/probe_mlp.log 2>&1
-echo "EXIT:$?" >> /tmp/probe_mlp.log
-
 echo "== chip_sanity $(date -u)" > /tmp/chip_sanity.log
 python tools/chip_sanity.py check >> /tmp/chip_sanity.log 2>&1
 echo "EXIT:$?" >> /tmp/chip_sanity.log
 
-# band_chunk A/B at a moderate size (62 bands, ~11 s of compute each):
-# measures the per-dispatch relay share the chunked sweep removes
-echo "== gigapixel band_chunk A/B $(date -u)" > /tmp/band_chunk.log
-python tools/bench_gigapixel.py --size 8192 --preview 0 >> /tmp/band_chunk.log 2>&1
-echo "EXIT_A:$?" >> /tmp/band_chunk.log
-python tools/bench_gigapixel.py --size 8192 --preview 0 --band_chunk 8 >> /tmp/band_chunk.log 2>&1
-echo "EXIT_B:$?" >> /tmp/band_chunk.log
-
-# inference-kernel A/B: does explicit head software-pipelining beat the
-# production qkvflat emission order?
-echo "== qkvflat pipe A/B $(date -u)" > /tmp/attn_pipe.log
-python tools/bench_attn_opt.py qkvflat >> /tmp/attn_pipe.log 2>&1
-echo "EXIT_A:$?" >> /tmp/attn_pipe.log
-python tools/bench_attn_opt.py qkvflat_pipe >> /tmp/attn_pipe.log 2>&1
-echo "EXIT_B:$?" >> /tmp/attn_pipe.log
+echo "== attn probes $(date -u)" > /tmp/attn_probe.log
+for v in qkvflat qkvflat_pipe qkvflat_pipe2 qkvflat_pipe2b; do
+  python tools/bench_attn_opt.py "$v" >> /tmp/attn_probe.log 2>&1
+  echo "EXIT_$v:$?" >> /tmp/attn_probe.log
+done
 
 echo "== bench $(date -u)" > /tmp/bench_relay.log
 python bench.py >> /tmp/bench_relay.log 2>&1
 echo "EXIT:$?" >> /tmp/bench_relay.log
 
-# int8 inference mode decision probes (ops/quant.py): raw rate first (is
-# s8xs8->s32 actually 2x through this backend?), then the headline-graph
-# A/B with its Dice gate. One workload per process.
-echo "== probe_int8 $(date -u)" > /tmp/probe_int8.log
-for w in rawdot mha mosaic; do
-  python tools/probe_int8.py "$w" >> /tmp/probe_int8.log 2>&1
-  echo "EXIT_$w:$?" >> /tmp/probe_int8.log
+# band_chunk sweep at a moderate size (62 bands): measures the per-dispatch
+# relay share the chunked sweep removes. NOTE: each new K pays one fresh
+# compile of the K-band graph (+ one for the tail chunk) — the first run's
+# wall clock is compile-dominated; re-run to get the cached steady state.
+echo "== gigapixel band_chunk sweep $(date -u)" > /tmp/band_chunk.log
+for k in 1 4 8 16; do
+  python tools/bench_gigapixel.py --size 8192 --preview 0 --band_chunk "$k" \
+    >> /tmp/band_chunk.log 2>&1
+  echo "EXIT_k$k:$?" >> /tmp/band_chunk.log
 done
+
+# trained-weights parity error budget (VERDICT r3 #5); checkpoint dir from
+# the r3 1500-epoch local MIM pretrain
+CKPT=$(ls -d /root/repo/output/mim_1500ep/*/*/ckpt_epoch_* 2>/dev/null | sort -V | tail -1)
+if [ -n "$CKPT" ]; then
+  echo "== parity budget $(date -u)" > /tmp/parity_budget.log
+  python tools/parity_fullscale.py --checkpoint "$CKPT" >> /tmp/parity_budget.log 2>&1
+  echo "EXIT:$?" >> /tmp/parity_budget.log
+fi
 
 echo "runbook done $(date -u)" >> /tmp/relay_watch.log

@@ -43,7 +43,10 @@ def capture(fn, x0, n, logdir):
 
 
 def aggregate(logdir, n_iters):
-    from tensorflow.core.profiler.protobuf import xplane_pb2
+    try:  # proto moved between TF releases; same message either way
+        from tensorflow.core.profiler.protobuf import xplane_pb2
+    except ModuleNotFoundError:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     assert paths, f"no xplane under {logdir}"

@@ -180,6 +180,13 @@ MLP_REMAT = _SHIPPED_MLP_REMAT
 # the "kernel" path is exercised without a TPU (see tests/test_fused_mlp.py).
 FUSED_MLP_INTERPRET = False
 
+# Inference-path block loop form (see _scan_blocks): True unrolls the
+# 12-block loop so XLA's layout assignment keeps the residual stream
+# row-major end to end instead of relaying out around the Pallas call at
+# every layer (the lax.scan carry pins a token-minor layout). Shipped
+# value chosen by on-chip A/B (tools/probe_scaling.py mosaic workload).
+UNROLL_INFER_BLOCKS = False
+
 # Training-path pre-attention norm: "kernel" fuses LN1 into the qkv
 # projection (ops/ln_linear.py) so the LN backward reductions run between
 # the projection's backward dots. None = stock layer_norm + dot. Measured
@@ -477,7 +484,20 @@ def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, sliced)
+    if UNROLL_INFER_BLOCKS and pad_stream and not remat:
+        # Unrolled inference block loop (r4): the lax.scan carry forces XLA
+        # to pick ONE layout for the residual stream across the loop
+        # boundary, and it picks token-minor {1,2,0} — every layer then
+        # pays a physical relayout of the (B, Np, D) stream around the
+        # row-major Pallas custom call (trace_ops r4: a 183 MB {2,1,0}->
+        # {1,2,0} fusion accounting for a large slice of the mosaic wall).
+        # Unrolling lets the layout assignment flow row-major end to end.
+        # Inference-only: the train path keeps the scan (bwd memory) and
+        # remat composes with scan, not the unrolled form.
+        for i in range(hi - lo):
+            x, _ = body(x, jax.tree.map(lambda a, i=i: a[i], sliced))
+    else:
+        x, _ = jax.lax.scan(body, x, sliced)
     if pad_stream and x.shape[1] != n:
         x = x[:, :n]
     return x

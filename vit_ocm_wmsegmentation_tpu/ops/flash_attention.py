@@ -469,7 +469,20 @@ def _attn_fwd_qkvflat_kernel(qkv_ref, bias_ref, o_ref, lse_ref,
                              *, h: int, d: int):
     """One program per batch element, all rows resident; heads unrolled
     (python loop over a static h). qkv_ref: (1, Np, 3hd) with the q section
-    pre-scaled (scale folded into wqkv's q columns at trace time)."""
+    pre-scaled (scale folded into wqkv's q columns at trace time).
+
+    The head loop is software-pipelined one ahead: head hh+1's s-dot (MXU)
+    is emitted BEFORE head hh's exp pass (VPU), giving the Mosaic scheduler
+    an always-ready independent MXU chain to overlap the softmax with.
+    Chip A/B at the mosaic shape (tools/bench_attn_opt.py, r4 slope-fit):
+    5.411 -> 5.232 ms/layer (73.9 -> 76.4 useful TF/s). The two further
+    softmax-VPU levers probed in the same session are measured washes and
+    stay out: exp2 with a LOG2E q-prescale fold (5.265 — the VPU's exp is
+    already exp2-based) and bf16 subtract/exp passes (5.241 — not
+    byte-bound). Dataflow per head is IDENTICAL to the unpipelined form
+    (same ops, same order within a head), so numerics are bit-equal; the
+    cost is one extra live (Np, Np) f32 score matrix (+23.6 MB VMEM at the
+    mosaic shape — qkvflat_fits accounts for it)."""
     dm = h * d
     rows = qkv_ref.shape[1]
     bias = bias_ref[:]
@@ -477,17 +490,29 @@ def _attn_fwd_qkvflat_kernel(qkv_ref, bias_ref, o_ref, lse_ref,
     ones_pat = jnp.where(
         jax.lax.broadcasted_iota(jnp.int32, (rows, d), 1) == 0, 1.0, 0.0
     ).astype(dtype)
-    for hh in range(h):
+
+    def load(hh):
         q = qkv_ref[0, :, hh * d : (hh + 1) * d]
         k = qkv_ref[0, :, dm + hh * d : dm + (hh + 1) * d]
         v = qkv_ref[0, :, 2 * dm + hh * d : 2 * dm + (hh + 1) * d]
-        ve = jnp.concatenate([v, ones_pat], axis=1)  # SSA; see header comment
+        return q, k, v
+
+    def score(q, k):
         qn = jnp.sqrt(jnp.sum(q.astype(jnp.float32) ** 2, axis=1, keepdims=True))
         kmax = jnp.sqrt(jnp.max(jnp.sum(k.astype(jnp.float32) ** 2, axis=1)))
-        m = qn * kmax  # >= row max of s (Cauchy-Schwarz on the same values)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) + bias
+        # qn*kmax >= row max of s (Cauchy-Schwarz on the same values)
+        return s, qn * kmax
+
+    q0, k0, v = load(0)
+    s, m = score(q0, k0)
+    for hh in range(h):
+        if hh + 1 < h:
+            qn_, kn_, vn_ = load(hh + 1)
+            s_next, m_next = score(qn_, kn_)  # MXU work ahead of the exp
         p = jnp.exp(s - m).astype(dtype)
+        ve = jnp.concatenate([v, ones_pat], axis=1)  # SSA; see header comment
         oe = jax.lax.dot_general(p, ve, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         denom = jnp.maximum(oe[:, d : d + 1], _DENOM_TINY)
@@ -496,6 +521,8 @@ def _attn_fwd_qkvflat_kernel(qkv_ref, bias_ref, o_ref, lse_ref,
             # exactly logsumexp: m + log(sum_j exp(s_j - m)); lane-hh write
             # exists only on the training path
             lse_ref[0, :, hh : hh + 1] = m + jnp.log(denom)
+        if hh + 1 < h:
+            s, m, v = s_next, m_next, vn_
 
 
 def _attn_fwd_qkvflat_kernel_nolse(qkv_ref, bias_ref, o_ref, *, h, d):
@@ -509,12 +536,13 @@ def _qkv_pad_rows(n: int) -> int:
 
 def qkvflat_fits(n: int, num_heads: int, head_dim: int) -> bool:
     """True when the one-program-per-batch flat kernel's VMEM working set
-    (f32 scores + bf16 p + in/out blocks) fits the budget; callers fall back
-    to the folded multi-block kernel otherwise."""
+    (TWO f32 score matrices — the head pipeline keeps the next head's s
+    live across this head's exp — + bf16 p + in/out blocks) fits the
+    budget; callers fall back to the folded multi-block kernel otherwise."""
     np_ = _qkv_pad_rows(n)
     dm = num_heads * head_dim
-    need = 6 * np_ * np_ + 2 * (3 * dm + dm) * np_ * 2 + np_ * 2 * head_dim * 2
-    return need <= 80 * 1024 * 1024
+    need = 10 * np_ * np_ + 2 * (3 * dm + dm) * np_ * 2 + np_ * 2 * head_dim * 2
+    return need <= 100 * 1024 * 1024
 
 
 def _flash_fwd_qkvflat(qkv, num_heads, n: int, interpret: bool, want_lse: bool):
@@ -546,7 +574,10 @@ def _flash_fwd_qkvflat(qkv, num_heads, n: int, interpret: bool, want_lse: bool):
         out_shape=tuple(out_shape) if want_lse else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # the head pipeline holds two f32 score matrices (~75 MB total
+            # working set at the mosaic shape); measured at this limit in
+            # tools/bench_attn_opt.py qkvflat_pipe
+            vmem_limit_bytes=128 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * num_heads * np_ * np_ * d,
