@@ -1,13 +1,19 @@
-"""Chip-vs-CPU numerics gate for the Pallas training kernels.
+"""On-chip numerics gate for the Pallas training kernels.
 
 The test suite proves interpret-mode Pallas == XLA on CPU; the gap it
 cannot cover is the real Mosaic compiler (see ops/flash_attention.py's
-reused-scratch miscompile lore). This tool closes it end-to-end: the same
-f32 MIM train step (fwd + flash-attention custom-VJP bwd + clip + AdamW)
-is evaluated on the CPU backend ("ref" mode, XLA everywhere) and on the
-chip ("check" mode, Pallas kernels engaged), and the first-step loss and
-grad-norm must agree to f32 accumulation noise for every training kernel
-route (MLP_REMAT x LN_QKV).
+reused-scratch miscompile lore). This tool closes it end-to-end with a
+two-tier comparison of the same f32 MIM train step (fwd + flash-attention
+custom-VJP bwd + clip + AdamW):
+
+* tight (RTOL): every Pallas kernel route vs the kernel-free "xla"
+  control RUN ON THE SAME CHIP — the comparison that isolates a Mosaic
+  miscompile from backend numerics. Measured agreement is ~3e-6.
+* loose (XBACKEND_RTOL): the chip "xla" control vs the committed CPU
+  reference — TPU-vs-CPU f32 differs by ~2.5e-3 on this step's gnorm even
+  at precision=highest (hardware erf/rsqrt approximations, reduction
+  reassociation); that envelope is a backend property and is gated as
+  such rather than being allowed to mask (or fake) a kernel bug.
 
 Usage:
     JAX_PLATFORMS=cpu python tools/chip_sanity.py ref    # writes the JSON
@@ -43,43 +49,75 @@ except Exception:
 # Pin full-f32 matmuls/convs: TPU XLA's DEFAULT precision runs f32 dots as
 # bf16 passes, which puts a ~0.4% chip-vs-CPU gnorm delta on EVERY variant
 # (measured r4 — the original gate could never pass on chip) and would mask
-# the Mosaic miscompiles this gate exists to catch. With "highest" the XLA
-# portions of the step agree to accumulation noise and the residual delta
-# isolates the Pallas kernels themselves.
+# the Mosaic miscompiles this gate exists to catch. "highest" reaches the
+# dots INSIDE Pallas kernels too (verified r4: the fused-MLP kernel's f32
+# output matches CPU interpret exactly under it, and drifts 0.5% without).
+# The residual ~2.5e-3 chip-vs-CPU step delta that remains is erf/rsqrt/
+# reduction-order — hence the two-tier gate above.
 jax.config.update("jax_default_matmul_precision", "highest")
 
 REF_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "chip_sanity_ref.json")
 
-# every training kernel route; (MLP_REMAT, LN_QKV, ATTN_SAVE_P)
+# every training kernel route; (MLP_REMAT, LN_QKV, ATTN_SAVE_P, XLA_ATTN).
+# "xla" is the kernel-free control: the same step with the attention run
+# through the materialized XLA path instead of the Pallas custom VJP — on
+# the chip it is the same-backend reference every Pallas route is gated
+# against (see RTOL below).
 VARIANTS = [
-    ("baseline", None, None, False),
-    ("gelu", "gelu", None, False),
-    ("gelu+ln", "gelu+ln", None, False),
-    ("kernel", "kernel", None, False),
-    ("lnqkv", None, "kernel", False),
-    ("kernel+lnqkv", "kernel", "kernel", False),
-    ("savep", None, None, True),
-    ("kernel+lnqkv+savep", "kernel", "kernel", True),
+    ("xla", None, None, False, True),
+    ("baseline", None, None, False, False),
+    ("gelu", "gelu", None, False, False),
+    ("gelu+ln", "gelu+ln", None, False, False),
+    ("kernel", "kernel", None, False, False),
+    ("lnqkv", None, "kernel", False, False),
+    ("kernel+lnqkv", "kernel", "kernel", False, False),
+    ("savep", None, None, True, False),
+    ("kernel+lnqkv+savep", "kernel", "kernel", True, False),
 ]
 
-# chip runs Pallas f32 kernels with bf16-free math but different reduction
-# orders / fused-rsqrt paths than the CPU XLA graph
+# Two-tier gate (r4 redesign, measured on chip):
+#
+# * RTOL gates every Pallas route against the SAME-BACKEND "xla" control —
+#   the comparison that actually isolates a Mosaic miscompile. Measured
+#   agreement: 3e-6 relative on gnorm, so 2e-4 is ~60x headroom while
+#   still far below any real miscompile (a wrong block would be >1e-2).
+# * XBACKEND_RTOL gates the chip "xla" control against the committed CPU
+#   reference. Even at precision=highest the TPU XLA backend differs from
+#   CPU f32 by ~2.5e-3 on the step's gnorm (measured r4: erf/rsqrt are
+#   hardware polynomial approximations and reductions reassociate); that
+#   delta is a backend property, NOT a kernel bug — localized by running
+#   the kernel-free step on chip and seeing the same drifted value
+#   (4.37519 vs CPU 4.38627). The loose tier still catches gross backend
+#   insanity (wrong conv lowering, precision config ignored: the DEFAULT-
+#   precision run drifts 4e-3+ on loss where highest sits at 1e-4).
 RTOL = 2e-4
+XBACKEND_RTOL = 8e-3
 
 
-def step_numbers(mlp_remat, ln_qkv, save_p=False):
+def step_numbers(mlp_remat, ln_qkv, save_p=False, xla_attn=False):
     from vit_ocm_wmsegmentation_tpu.models import simmim
     from vit_ocm_wmsegmentation_tpu.models import vit as vit_mod
     from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+    from vit_ocm_wmsegmentation_tpu.ops import attention as att
     from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
     from vit_ocm_wmsegmentation_tpu.train.mim_trainer import make_train_step
     from vit_ocm_wmsegmentation_tpu.train.optim import build_optimizer
     from vit_ocm_wmsegmentation_tpu.utils.config import default_config
     saved = (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
-             fa.SAVE_P)
+             fa.SAVE_P, att.mha_auto)
     vit_mod.MLP_REMAT, vit_mod.LN_QKV = mlp_remat, ln_qkv
     fa.SAVE_P = save_p
+    if xla_attn:
+        # kernel-free control: materialized XLA attention (compiles fast
+        # at n=145, unlike the chunked scan's autodiff graph). The train
+        # path keeps the stream unpadded, so n_valid is always None here.
+        def _materialized(x, params, num_heads, *, n_valid=None,
+                          prefer_folded=False, train=False):
+            assert n_valid is None
+            return att.mha(x, params, num_heads)
+
+        att.mha_auto = _materialized
     on_tpu = jax.default_backend() in ("tpu", "axon")
     # the CPU ref must exercise the same routes: interpret-mode kernels
     vit_mod.FUSED_MLP_INTERPRET = not on_tpu
@@ -101,7 +139,7 @@ def step_numbers(mlp_remat, ln_qkv, save_p=False):
         return float(loss), float(gnorm)
     finally:
         (vit_mod.MLP_REMAT, vit_mod.LN_QKV, vit_mod.FUSED_MLP_INTERPRET,
-         fa.SAVE_P) = saved
+         fa.SAVE_P, att.mha_auto) = saved
 
 
 def int8_infer_numbers():
@@ -134,9 +172,9 @@ def main():
               file=sys.stderr)
         return 2
     results = {}
-    for name, mlp_remat, ln_qkv, save_p in VARIANTS:
+    for name, mlp_remat, ln_qkv, save_p, xla_attn in VARIANTS:
         try:
-            loss, gnorm = step_numbers(mlp_remat, ln_qkv, save_p)
+            loss, gnorm = step_numbers(mlp_remat, ln_qkv, save_p, xla_attn)
             results[name] = {"loss": loss, "gnorm": gnorm}
             print(json.dumps({"variant": name, "loss": round(loss, 7),
                               "gnorm": round(gnorm, 6)}), flush=True)
@@ -174,22 +212,48 @@ def main():
         bad.append((orphan, "missing-from-check",
                     "variant in chip_sanity_ref.json but no longer probed; "
                     "update VARIANTS or regenerate the ref"))
+    # tier 1 (cross-backend, loose): the chip's kernel-free "xla" control
+    # vs the committed CPU reference
+    control = results.get("xla", {})
+    if "error" in control or "loss" not in control:
+        bad.append(("xla", "error", control.get("error", "missing")))
+        control = None
+    else:
+        for key in ("loss", "gnorm"):
+            want = ref["xla"][key]
+            if abs(control[key] - want) > XBACKEND_RTOL * max(1.0, abs(want)):
+                bad.append(("xla", key, control[key], want))
+    # tier 2 (same-backend, tight): every Pallas route vs the chip control
     for name, got in results.items():
-        want = ref.get(name)
-        if want is None:
+        if name in ("xla", "int8_infer"):
+            continue
+        if name not in ref:
             bad.append((name, "missing-from-ref",
                         "regenerate tools/chip_sanity_ref.json on CPU"))
             continue
-        if "error" in got or "error" in want:
-            bad.append((name, "error", got.get("error") or want.get("error")))
+        if "error" in got:
+            bad.append((name, "error", got["error"]))
             continue
+        if control is None:
+            continue  # already failing; per-variant compare is meaningless
+        for key in ("loss", "gnorm"):
+            if abs(got[key] - control[key]) > RTOL * max(1.0, abs(control[key])):
+                bad.append((name, key, got[key], control[key]))
+    # int8 inference stays a direct cross-backend check: integer dots are
+    # bit-exact; only the f32 scale arithmetic can differ
+    got = results.get("int8_infer", {})
+    want = ref.get("int8_infer")
+    if "error" in got or want is None:
+        bad.append(("int8_infer", "error", got.get("error", "missing-ref")))
+    else:
         for key in ("loss", "gnorm"):
             if abs(got[key] - want[key]) > RTOL * max(1.0, abs(want[key])):
-                bad.append((name, key, got[key], want[key]))
+                bad.append(("int8_infer", key, got[key], want[key]))
     if bad:
         print("CHIP_SANITY_FAIL", json.dumps(bad), flush=True)
         return 1
-    print("CHIP_SANITY_OK: all kernel routes match the CPU reference",
+    print("CHIP_SANITY_OK: kernel routes match the on-chip XLA control; "
+          "control within the cross-backend envelope of the CPU reference",
           flush=True)
     return 0
 

@@ -299,7 +299,7 @@ def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
     from ..ops.attention import split_qkv
     from ..ops.flash_attention import (SAVE_P, DEFAULT_BLOCK_Q,
                                        flash_attention_trainable)
-    from ..ops.fused_mlp import DEFAULT_BLOCK_R
+    from ..ops.fused_mlp import pick_block_r
     from ..ops.ln_linear import ln_linear
 
     b, n, d = x.shape
@@ -309,7 +309,7 @@ def _ln_qkv_attention(bp, cfg: ViTConfig, x, *, interpret=False):
         bqkv = jnp.zeros((wqkv.shape[1],), wqkv.dtype)
     qkv = ln_linear(x.reshape(b * n, d), bp["norm1"]["scale"],
                     bp["norm1"]["bias"], wqkv, bqkv, cfg.ln_eps,
-                    DEFAULT_BLOCK_R, interpret).reshape(b, n, 3 * d)
+                    pick_block_r(x.dtype), interpret).reshape(b, n, 3 * d)
     q, k, v = split_qkv(qkv, cfg.num_heads)
     out = flash_attention_trainable(q, k, v, DEFAULT_BLOCK_Q, interpret,
                                     SAVE_P)
@@ -411,14 +411,14 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     mode = MLP_REMAT if train else None
     if mode == "kernel":
         if kernel_ok and (on_tpu or FUSED_MLP_INTERPRET):
-            from ..ops.fused_mlp import DEFAULT_BLOCK_R, fused_mlp_block
+            from ..ops.fused_mlp import fused_mlp_block, pick_block_r
 
             b, n, d = x.shape
 
             def _mlp_kernel_call(xx, sc, bb, w1, b1, w2, b2):
                 out = fused_mlp_block(xx.reshape(-1, d), sc, bb, w1, b1,
-                                      w2, b2, cfg.ln_eps, DEFAULT_BLOCK_R,
-                                      not on_tpu)
+                                      w2, b2, cfg.ln_eps,
+                                      pick_block_r(xx.dtype), not on_tpu)
                 return out.reshape(xx.shape)
 
             args = (x, bp["norm2"]["scale"], bp["norm2"]["bias"],

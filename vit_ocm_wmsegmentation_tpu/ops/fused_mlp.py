@@ -48,6 +48,20 @@ _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 DEFAULT_BLOCK_R = 512
 
 
+def pick_block_r(dtype) -> int:
+    """Largest row block that fits the v5e's 16 MB scoped-VMEM budget for
+    the backward kernel at the production width (D=384, H=1536).
+
+    bf16 compute (the AMP route): 512, the on-chip-probe-measured best
+    (46.4 / 47.5 / 48.0 ms per MIM step at 512 / 256 / 128,
+    tools/probe_fused_mlp.py r4). f32 compute: 512 asks 32.9 MB of scoped
+    VMEM and 256 still overflows (both measured r4 via the remote
+    compiler's OOM rejection); 128 compiles and matches the on-chip XLA
+    control to 3e-6, so the f32 route ships at 128 instead of being
+    gated off."""
+    return DEFAULT_BLOCK_R if jnp.dtype(dtype).itemsize <= 2 else 128
+
+
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
