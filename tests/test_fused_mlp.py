@@ -265,3 +265,22 @@ def test_mim_step_kernel_mode_matches_stock(monkeypatch):
     assert float(l2) == pytest.approx(float(l1), abs=1e-6)
     for a, b in zip(jax.tree.leaves(g2), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_pick_block_r_dtype_rule():
+    """f32 at BLOCK_R=512/256 overflows the v5e's 16 MB scoped-VMEM budget
+    in the backward kernel (measured r4 via remote-compiler OOM); 128 fits.
+    bf16 keeps the probe-measured-best 512. The dispatch sites
+    (models/vit.py _mlp_kernel_call / _ln_qkv_attention) must route through
+    this rule so the f32 training path compiles on chip."""
+    from vit_ocm_wmsegmentation_tpu.ops.fused_mlp import (DEFAULT_BLOCK_R,
+                                                          pick_block_r)
+
+    assert pick_block_r(jnp.bfloat16) == DEFAULT_BLOCK_R == 512
+    assert pick_block_r(jnp.float16) == 512
+    assert pick_block_r(jnp.float32) == 128
+    # the f32 block the rule picks stays numerically exact (interpret mode)
+    args = _mk(np.random.default_rng(3))
+    out = fused_mlp_block(*args, 1e-6, pick_block_r(jnp.float32), True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(*args)),
+                               atol=2e-6)
