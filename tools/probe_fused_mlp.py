@@ -78,7 +78,7 @@ def fit(name, fn, x0_factory, ns):
     return sl
 
 
-def probe(variant, smoke=False):
+def probe(variant, smoke=False, fp32=False):
     from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
 
     mode = variant
@@ -116,7 +116,7 @@ def probe(variant, smoke=False):
     cfg = default_config()
     tx = build_optimizer(cfg, params, lambda t: 1e-4)
     opt_state = tx.init(params)
-    step = make_train_step(vit_cfg, tx, amp=True)
+    step = make_train_step(vit_cfg, tx, amp=not fp32)
 
     rng = np.random.default_rng(0)
     g = img // 8
@@ -141,7 +141,8 @@ def probe(variant, smoke=False):
     print(json.dumps({"variant": variant, "first_loss": round(loss, 6),
                       "first_gnorm": round(gn, 5)}), flush=True)
 
-    fit(f"mim_step_{variant}", run, lambda: fresh(state_keep),
+    tag = "fp32_" if fp32 else ""
+    fit(f"mim_step_{tag}{variant}", run, lambda: fresh(state_keep),
         [1, 2] if smoke else [1, 2, 4, 8, 16])
     return loss, gn
 
@@ -162,6 +163,12 @@ def main():
     smoke = "--smoke" in args
     if smoke:
         args.remove("--smoke")
+    # --fp32: the non-AMP step (VMEM forces the kernel to BLOCK_R=128
+    # there, ops/fused_mlp.pick_block_r) — measures whether the fused
+    # block still beats baseline without the bf16 halving
+    fp32 = "--fp32" in args
+    if fp32:
+        args.remove("--fp32")
     anchor = None  # the BASELINE variant's (loss, gnorm) — never another
     # variant's: re-anchoring on whichever variant happened to succeed first
     # would let a miscompiled variant pass unguarded and fail the healthy
@@ -178,7 +185,7 @@ def main():
         # a variant that fails to compile (the Pallas kernels have only met
         # the interpret-mode evaluator so far) must not sink the others
         try:
-            nums = probe(variant, smoke=smoke)
+            nums = probe(variant, smoke=smoke, fp32=fp32)
         except Exception as e:  # noqa: BLE001 - survey probe, report + go on
             print(json.dumps({"workload": f"mim_step_{variant}",
                               "error": repr(e)[:500]}), flush=True)
