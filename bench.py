@@ -86,13 +86,19 @@ def main():
     # block_until_ready can return before execution completes, so every
     # dispatch is chained on the previous output (the mask's low bit perturbs
     # the next input — identical shapes/compute, forced serial dependency)
-    # and the clock stops on a scalar host transfer.
-    def chain(im, mask):
+    # and the clock stops on a scalar host transfer. The xor chain step is
+    # INSIDE the jitted graph (same as tools/probe_scaling.py's mosaic
+    # workload): dispatching it as a separate eager op costs ~6 ms/iter of
+    # relay round-trips that belong to the harness, not the pipeline
+    # (measured r4: 115.8 ms/iter eager-xor vs 109.3 ms/iter slope fit).
+
+    @jax.jit
+    def step(im):
+        mask, attn = run(im)
         return jnp.bitwise_xor(im, mask & jnp.uint8(1))
 
-    mask, attn = run(img)
-    mask, attn = run(chain(img, mask))
-    float(jnp.sum(attn))  # scalar sync: warmup truly finished
+    im = step(step(img))
+    float(jnp.sum(im))  # scalar sync: warmup truly finished
 
     # min over repeats: the relay adds sporadic multi-ms stalls; the fastest
     # full chain is the one where the device ran back-to-back, which is the
@@ -103,9 +109,8 @@ def main():
         im = img
         start = time.perf_counter()
         for _ in range(iters):
-            mask, attn = run(im)
-            im = chain(im, mask)
-        float(jnp.sum(attn))  # scalar sync: all chained dispatches executed
+            im = step(im)
+        float(jnp.sum(im))  # scalar sync: all chained dispatches executed
         dt = min(dt, time.perf_counter() - start)
 
     mp = size * size / 1e6

@@ -360,6 +360,7 @@ def test_scan_blocks_unrolled_matches_scan(monkeypatch):
     monkeypatch.setattr(fa, "mha_flash", fake_mha_flash)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    monkeypatch.setattr(vit_mod, "UNROLL_INFER_BLOCKS", False)
     want = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
     monkeypatch.setattr(vit_mod, "UNROLL_INFER_BLOCKS", True)
     got = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)

@@ -184,8 +184,11 @@ FUSED_MLP_INTERPRET = False
 # 12-block loop so XLA's layout assignment keeps the residual stream
 # row-major end to end instead of relaying out around the Pallas call at
 # every layer (the lax.scan carry pins a token-minor layout). Shipped
-# value chosen by on-chip A/B (tools/probe_scaling.py mosaic workload).
-UNROLL_INFER_BLOCKS = False
+# value chosen by on-chip A/B (tools/probe_scaling.py mosaic_1152_full_graph,
+# r4 slope fit over n=1..16 iters): scan 115.76 ms/iter vs unrolled
+# 109.28 ms/iter (11.46 -> 12.14 MP/s sustained), identical outputs
+# (tests/test_flash_attention.py::test_unrolled_infer_blocks_match_scan).
+UNROLL_INFER_BLOCKS = True
 
 # Training-path pre-attention norm: "kernel" fuses LN1 into the qkv
 # projection (ops/ln_linear.py) so the LN backward reductions run between
