@@ -61,6 +61,19 @@ def parse_args():
                              "on the MXU's double-rate int8 path "
                              "(ops/quant.py; Dice-parity-gated in "
                              "tests/test_quant.py and tools/probe_int8.py)")
+    parser.add_argument("--streamed", default="auto", choices=["auto", "0", "1"],
+                        help="route mosaics through the bounded-memory band-"
+                             "streamed pipeline (segment_mosaic_streamed: "
+                             "HBM-resident canvas, one dispatch per "
+                             "band_chunk tile rows, identical numbers). "
+                             "auto = streamed above %d MP, where the fused "
+                             "graph's per-tile attention stack approaches "
+                             "HBM limits (BENCH.md size scaling)"
+                             % (pl.STREAM_AUTO_MP,))
+    parser.add_argument("--band_chunk", default=None, type=int,
+                        help="tile rows per dispatch in streamed mode "
+                             "(default: pipeline.DEFAULT_BAND_CHUNK, the "
+                             "on-chip-swept value)")
     parser.add_argument("--exact_stitch", default=0, type=int,
                         help="threshold the reference's re-stitched uint8 "
                              "mosaic bit-exactly (sw_processing.py:224-229 "
@@ -86,9 +99,20 @@ def main():
     set_infer_quant(args.quant)
     create_dir(args.output_dir)
 
+    use_streamed = (args.streamed == "1"
+                    or (args.streamed == "auto"
+                        and size[0] * size[1] > pl.STREAM_AUTO_MP * 1e6))
+    band_chunk = args.band_chunk if args.band_chunk else pl.DEFAULT_BAND_CHUNK
+
     def segment(gray_dev, with_heat=True):
-        mask, attn = pl.segment_mosaic(params, cfg, gray_dev, args.window_size, args.stride,
-                                       dtype=dtype, exact_stitch=bool(args.exact_stitch))
+        if use_streamed:
+            mask, attn = pl.segment_mosaic_streamed(
+                params, cfg, gray_dev, args.window_size, args.stride,
+                dtype=dtype, exact_stitch=bool(args.exact_stitch),
+                band_chunk=band_chunk)
+        else:
+            mask, attn = pl.segment_mosaic(params, cfg, gray_dev, args.window_size, args.stride,
+                                           dtype=dtype, exact_stitch=bool(args.exact_stitch))
         if not with_heat:
             return mask, attn, None
         _, _, heatmap_otsu = threshold_multiplicative(gray_dev, attn)
@@ -109,7 +133,9 @@ def main():
         img = Image.open(args.image_path).convert("RGB").resize((size[1], size[0]))
         gray = jnp.asarray(np.asarray(img.convert("L"), np.uint8))
         write(args.output_dir, *segment(gray))
-        print(f"tiles processed in one fused graph; output in {args.output_dir}")
+        how = ("band-streamed (bounded memory)" if use_streamed
+               else "in one fused graph")
+        print(f"tiles processed {how}; output in {args.output_dir}")
         return
 
     # serving mode: stream every mosaic in the folder through a 3-stage

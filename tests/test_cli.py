@@ -140,6 +140,43 @@ def test_sw_processing_stream_mode(tmp_path, monkeypatch):
         assert (out1 / f).exists()
 
 
+def test_sw_processing_streamed_flag(tmp_path, monkeypatch):
+    """--streamed 1 routes the mosaic through segment_mosaic_streamed (the
+    bounded-memory gigapixel path, r4 CLI exposure) and must write the same
+    mask the in-graph path writes; --streamed auto stays in-graph at small
+    sizes."""
+    import numpy as np
+    from PIL import Image
+
+    import sw_processing
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params = vit.init(cfg, __import__("jax").random.PRNGKey(0))
+    monkeypatch.setattr(sw_processing, "load_model",
+                        lambda *a, **k: (params, cfg, "random"))
+
+    rng = np.random.default_rng(11)
+    img = tmp_path / "m.png"
+    Image.fromarray((rng.random((96, 96)) * 255).astype(np.uint8)).save(img)
+
+    outs = {}
+    for name, flag in (("fused", "auto"), ("streamed", "1")):
+        out = tmp_path / name
+        monkeypatch.setattr(sys, "argv", [
+            "sw_processing.py", "--image_path", str(img), "--image_size", "96",
+            "--window_size", "48", "--stride", "16", "--output_dir", str(out),
+            "--streamed", flag])
+        sw_processing.main()
+        outs[name] = np.asarray(Image.open(out / "otsu_sw.jpg").convert("L"))
+    # jpg quantization aside, the two masks must agree (identical numbers
+    # upstream of the writer; tests/test_pipeline.py pins exact equality at
+    # the array level)
+    agree = (outs["fused"] == outs["streamed"]).mean()
+    assert agree > 0.999, f"streamed CLI mask diverged: agreement {agree}"
+
+
 def test_sw_processing_quant_int8_flag(tmp_path, monkeypatch):
     """--quant int8 drives the full CLI through the dynamic-W8A8 inference
     path (ops/quant.py) and still writes the artifact set; the module-global

@@ -30,6 +30,18 @@ from .ops import threshold as th
 from .ops.filters import median_filter
 from .ops.resize import resize_linear_cv2, smooth_attention
 
+# sw_processing.py --streamed auto: mosaics above this many megapixels route
+# through segment_mosaic_streamed (the fused graph's (T, win, win) per-tile
+# attention stack approaches HBM limits past the 4608² = 21.2 MP row of
+# BENCH.md's size-scaling table; streamed is bit-identical and bounded).
+STREAM_AUTO_MP = 22
+
+# Tile rows per streamed dispatch (band_chunk): K-fold fewer relay round
+# trips, identical numbers (tests/test_pipeline.py band_chunk bit-equal).
+# Value chosen by the r4 on-chip sweep (tools/bench_gigapixel.py --band_chunk
+# K in {1,4,8,16} at 8192²; BENCH.md gigapixel rows).
+DEFAULT_BAND_CHUNK = 8
+
 
 def to_model_input(img_u8, dtype=jnp.float32):
     """uint8 (..., H, W) grayscale -> float (..., H, W, 3) in [0,1].
@@ -281,7 +293,7 @@ def _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window, stride,
 def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
                             median_size=1, dtype=jnp.float32, exact_stitch=False,
                             progress=None, single_dispatch=False,
-                            band_chunk=1):
+                            band_chunk=None):
     """Gigapixel-capable segment_mosaic: identical numbers, bounded memory.
 
     segment_mosaic materializes the full (T, window, window) per-tile
@@ -294,10 +306,13 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
 
     img_u8 may be a host numpy array (uploaded once) or a device array.
     band_chunk=K groups K tile rows into one dispatch (see
-    _band_sweep) — numbers identical, K fewer relay round trips.
+    _band_sweep) — numbers identical, K fewer relay round trips
+    (None = DEFAULT_BAND_CHUNK, the on-chip-swept value).
     Returns (mask_u8 (H, W) {0,255} device array, attention (H, W) f32
     device array).
     """
+    if band_chunk is None:
+        band_chunk = DEFAULT_BAND_CHUNK
     validate_window_geometry(window, stride)
     img_u8 = jnp.asarray(img_u8)
     padded, (h, w) = pad_mosaic(img_u8, window, stride)
