@@ -129,7 +129,8 @@ def main():
     print(json.dumps({
         "trained_weights_metric_parity": {k: [round(got[k], 6), round(want[k], 6)] for k in keys},
         "max_abs_meter_delta": round(worst, 8),
-        "checkpoint_epoch": restored.get("epoch"),
+        # orbax restores bare scalars as 0-d ndarrays — not JSON-serializable
+        "checkpoint_epoch": int(np.asarray(restored.get("epoch", -1))),
     }), flush=True)
     os.unlink(pth)
 
