@@ -502,6 +502,34 @@ def test_mosaic_inference_dp_kernel_route_odd_tiles():
                                atol=5e-3)  # 0..255 scale
 
 
+def test_streamed_mosaic_dp_kernel_route():
+    """Multi-chip gigapixel streaming: segment_mosaic_streamed's mesh arg
+    shards each band's tile row (7 tiles — indivisible by the 8-way mesh,
+    exercising dp_island's zero-row padding) across the mesh, through both
+    the per-band dispatch loop (_band_update) and the band_chunk fori_loop
+    (_band_sweep). Mask must be bit-equal to the plain streamed path."""
+    from vit_ocm_wmsegmentation_tpu import pipeline as pl
+    from vit_ocm_wmsegmentation_tpu.ops import attention as att_mod
+
+    params = vit.init(CFG, jax.random.PRNGKey(9))
+    img = (np.random.default_rng(11).random((88, 88)) * 255).astype(np.uint8)
+    want_mask, want_attn = pl.segment_mosaic_streamed(
+        params, CFG, img, window=40, stride=8, band_chunk=1)
+
+    att_mod.DP_KERNEL_INTERPRET = True
+    try:
+        for chunk in (1, 3):  # per-band dispatches, then the fori_loop sweep
+            got_mask, got_attn = pl.segment_mosaic_streamed(
+                params, CFG, img, window=40, stride=8, band_chunk=chunk,
+                mesh=make_mesh())
+            np.testing.assert_array_equal(np.asarray(got_mask),
+                                          np.asarray(want_mask))
+            np.testing.assert_allclose(np.asarray(got_attn),
+                                       np.asarray(want_attn), atol=5e-3)
+    finally:
+        att_mod.DP_KERNEL_INTERPRET = False
+
+
 # ---------------------------------------------------------------------------
 # Pipeline parallelism (parallel/pp.py): GPipe fill-drain over block stages
 # ---------------------------------------------------------------------------

@@ -234,9 +234,10 @@ def attention_mosaic(params, cfg, img_u8, window=384, stride=128, median_size=1,
 
 
 @partial(jax.jit, donate_argnums=(3,),
-         static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
+         static_argnames=("cfg", "window", "stride", "median_size", "dtype",
+                          "mesh"))
 def _band_sweep(params, cfg, img_dev, acc, ys_dev, wy_dev, window, stride,
-                median_size, dtype):
+                median_size, dtype, mesh=None):
     """A run of tile-row bands in one compiled graph: fori_loop over the
     band index with the f32 canvas as the (donated) carry. Same numbers as
     the per-band dispatch loop; zero per-band host/dispatch overhead
@@ -244,22 +245,33 @@ def _band_sweep(params, cfg, img_dev, acc, ys_dev, wy_dev, window, stride,
     dispatches). Callers pass ALL bands (single_dispatch — crashed the TPU
     worker at 254 iterations, opt-in) or a band_chunk=K slice (the middle
     ground: K-fold fewer dispatches, small trip count per graph; all full
-    chunks share one compilation since K is carried by ys_dev's shape)."""
+    chunks share one compilation since K is carried by ys_dev's shape).
+
+    ``mesh`` (static, keyed into the jit cache like segment_mosaic's): a
+    pure-dp mesh shards each band's tile row across chips via the
+    shard_map kernel islands (parallel/mesh.py::dp_island)."""
+    from .parallel.mesh import kernel_mesh_scope
 
     def body(r, a):
         return _band_update_impl(params, cfg, img_dev, a, ys_dev[r],
                                  wy_dev[r], window, stride, median_size, dtype)
 
-    return jax.lax.fori_loop(0, ys_dev.shape[0], body, acc)
+    with kernel_mesh_scope(mesh) if mesh is not None else _NULL_SCOPE():
+        return jax.lax.fori_loop(0, ys_dev.shape[0], body, acc)
 
 
 @partial(jax.jit, donate_argnums=(3,),
-         static_argnames=("cfg", "window", "stride", "median_size", "dtype"))
-def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride, median_size, dtype):
+         static_argnames=("cfg", "window", "stride", "median_size", "dtype",
+                          "mesh"))
+def _band_update(params, cfg, img_dev, acc, y0, wy_row, window, stride,
+                 median_size, dtype, mesh=None):
     """One-band dispatch used by the progress-reporting python loop; see
-    _band_update_impl."""
-    return _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window,
-                             stride, median_size, dtype)
+    _band_update_impl. ``mesh`` as in _band_sweep."""
+    from .parallel.mesh import kernel_mesh_scope
+
+    with kernel_mesh_scope(mesh) if mesh is not None else _NULL_SCOPE():
+        return _band_update_impl(params, cfg, img_dev, acc, y0, wy_row,
+                                 window, stride, median_size, dtype)
 
 
 
@@ -293,7 +305,7 @@ def _band_update_impl(params, cfg, img_dev, acc, y0, wy_row, window, stride,
 def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
                             median_size=1, dtype=jnp.float32, exact_stitch=False,
                             progress=None, single_dispatch=False,
-                            band_chunk=None):
+                            band_chunk=None, mesh=None):
     """Gigapixel-capable segment_mosaic: identical numbers, bounded memory.
 
     segment_mosaic materializes the full (T, window, window) per-tile
@@ -308,6 +320,11 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
     band_chunk=K groups K tile rows into one dispatch (see
     _band_sweep) — numbers identical, K fewer relay round trips
     (None = DEFAULT_BAND_CHUNK, the on-chip-swept value).
+    ``mesh``: a pure-dp jax Mesh — each band's tile row is sharded across
+    chips through the shard_map kernel islands, so a pod tears through a
+    gigapixel mosaic with the same bounded-HBM streaming as one chip (the
+    uint8 mosaic + f32 canvas are replicated; at 1.07 GP that is ~5.4 GB
+    per chip, well inside a v5e's 16 GB).
     Returns (mask_u8 (H, W) {0,255} device array, attention (H, W) f32
     device array).
     """
@@ -330,19 +347,20 @@ def segment_mosaic_streamed(params, cfg, img_u8, window=384, stride=128,
         # but the 254-band graph crashed the TPU worker at 32768² on the
         # current runtime — hence opt-in, default off.
         acc = _band_sweep(params, cfg, padded, acc, ys_dev, wy_dev,
-                          window, stride, median_size, dtype)
+                          window, stride, median_size, dtype, mesh)
     elif band_chunk > 1:
         for c0 in range(0, len(ys), band_chunk):
             c1 = min(c0 + band_chunk, len(ys))
             acc = _band_sweep(params, cfg, padded, acc,
                               ys_dev[c0:c1], wy_dev[c0:c1],
-                              window, stride, median_size, dtype)
+                              window, stride, median_size, dtype, mesh)
             if progress is not None:
                 progress(c1, len(ys))
     else:
         for r in range(len(ys)):
             acc = _band_update(params, cfg, padded, acc, ys_dev[r],
-                               wy_dev[r], window, stride, median_size, dtype)
+                               wy_dev[r], window, stride, median_size, dtype,
+                               mesh)
             if progress is not None:
                 progress(r + 1, len(ys))
     attn = acc[:h, :w]
