@@ -109,6 +109,22 @@ def main():
     # scalar sync: all chained band dispatches + threshold truly executed
     fg = float((mask > 0).astype(jnp.float32).mean())
     t_seg = time.time() - t0
+    # positional digest (device-side scalar, outside the timed window): a
+    # weighted row/col checksum that differs if ANY pixel flips — lets a
+    # band_chunk sweep assert bit-equal masks without 1 GB downloads
+
+    @jax.jit
+    def _digest(m):
+        h, w = m.shape
+        rw = (jnp.arange(h, dtype=jnp.uint32) * jnp.uint32(2654435761)) % jnp.uint32(1 << 24)
+        cw = (jnp.arange(w, dtype=jnp.uint32) * jnp.uint32(40503)) % jnp.uint32(1 << 24)
+        bits = (m > 0).astype(jnp.uint32)
+        rows = jnp.sum(bits * cw[None, :], axis=1)  # (h,) per-row checksums
+        return (jnp.sum(rows * rw) % jnp.uint32(1 << 31),
+                jnp.sum(rows) % jnp.uint32(1 << 31))
+
+    d1, d2 = _digest(mask)
+    digest = f"{int(d1):08x}-{int(d2):08x}"
     mp = size * size / 1e6
     stats = jax.local_devices()[0].memory_stats() or {}
     peak = stats.get("peak_bytes_in_use", 0)
@@ -124,6 +140,7 @@ def main():
         "ms_per_tile": round(t_seg * 1e3 / n_tiles, 3),
         "peak_hbm_gb": round(peak / 1e9, 2),
         "mask_fg_fraction": round(fg, 4),
+        "mask_digest": digest,
     }
     print(json.dumps(result), flush=True)
 
