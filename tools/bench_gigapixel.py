@@ -64,9 +64,11 @@ def main():
     ap.add_argument("--single_dispatch", action="store_true",
                     help="all bands in one fori_loop dispatch (experimental: "
                          "crashed the TPU worker at 254 bands)")
-    ap.add_argument("--band_chunk", type=int, default=1,
+    ap.add_argument("--band_chunk", type=int, nargs="+", default=[1],
                     help="tile rows per dispatch (cuts relay round trips "
-                         "K-fold; the all-bands sweep crashed the worker)")
+                         "K-fold; the all-bands sweep crashed the worker). "
+                         "Several values sweep K over the same uploaded "
+                         "mosaic and assert the mask digest is identical.")
     args = ap.parse_args()
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
@@ -101,14 +103,6 @@ def main():
             print(f"  band {done}/{total} (+{now - last[0]:.1f}s)", flush=True)
             last[0] = now
 
-    t0 = time.time()
-    mask, attn = pl.segment_mosaic_streamed(
-        params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
-        progress=None if args.no_progress else progress,
-        single_dispatch=args.single_dispatch, band_chunk=args.band_chunk)
-    # scalar sync: all chained band dispatches + threshold truly executed
-    fg = float((mask > 0).astype(jnp.float32).mean())
-    t_seg = time.time() - t0
     # positional digest (device-side scalar, outside the timed window): a
     # weighted row/col checksum that differs if ANY pixel flips — lets a
     # band_chunk sweep assert bit-equal masks without 1 GB downloads
@@ -116,33 +110,59 @@ def main():
     @jax.jit
     def _digest(m):
         h, w = m.shape
-        rw = (jnp.arange(h, dtype=jnp.uint32) * jnp.uint32(2654435761)) % jnp.uint32(1 << 24)
-        cw = (jnp.arange(w, dtype=jnp.uint32) * jnp.uint32(40503)) % jnp.uint32(1 << 24)
+        # 1-based position weights: arange alone gives weight 0 to row/col 0,
+        # making the checksum blind to flips there (ADVICE r4); +1 keeps every
+        # pixel position at a nonzero weight under both odd multipliers
+        rw = ((jnp.arange(h, dtype=jnp.uint32) + jnp.uint32(1))
+              * jnp.uint32(2654435761)) % jnp.uint32(1 << 24)
+        cw = ((jnp.arange(w, dtype=jnp.uint32) + jnp.uint32(1))
+              * jnp.uint32(40503)) % jnp.uint32(1 << 24)
         bits = (m > 0).astype(jnp.uint32)
         rows = jnp.sum(bits * cw[None, :], axis=1)  # (h,) per-row checksums
         return (jnp.sum(rows * rw) % jnp.uint32(1 << 31),
                 jnp.sum(rows) % jnp.uint32(1 << 31))
 
-    d1, d2 = _digest(mask)
-    digest = f"{int(d1):08x}-{int(d2):08x}"
     mp = size * size / 1e6
-    stats = jax.local_devices()[0].memory_stats() or {}
-    peak = stats.get("peak_bytes_in_use", 0)
     n_tiles = ((size - window) // stride + 1) ** 2
-    result = {
-        "mosaic": f"{size}x{size}",
-        "gigapixels": round(size * size / 1e9, 3),
-        "tiles": n_tiles,
-        "upload_s": round(t_up, 1),
-        "segment_s": round(t_seg, 1),
-        "mp_per_s_device": round(mp / t_seg, 2),
-        "mp_per_s_end_to_end": round(mp / (t_up + t_seg), 2),
-        "ms_per_tile": round(t_seg * 1e3 / n_tiles, 3),
-        "peak_hbm_gb": round(peak / 1e9, 2),
-        "mask_fg_fraction": round(fg, 4),
-        "mask_digest": digest,
-    }
-    print(json.dumps(result), flush=True)
+    digests = {}
+    mask = attn = None
+    for bc in args.band_chunk:
+        t0 = time.time()
+        mask, attn = pl.segment_mosaic_streamed(
+            params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
+            progress=None if args.no_progress else progress,
+            single_dispatch=args.single_dispatch, band_chunk=bc)
+        # scalar sync: all chained band dispatches + threshold truly executed
+        fg = float((mask > 0).astype(jnp.float32).mean())
+        t_seg = time.time() - t0
+        d1, d2 = _digest(mask)
+        digest = f"{int(d1):08x}-{int(d2):08x}"
+        digests[bc] = digest
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use", 0)
+        result = {
+            "mosaic": f"{size}x{size}",
+            "gigapixels": round(size * size / 1e9, 3),
+            "tiles": n_tiles,
+            "band_chunk": bc,
+            "upload_s": round(t_up, 1),
+            "segment_s": round(t_seg, 1),
+            "mp_per_s_device": round(mp / t_seg, 2),
+            "mp_per_s_end_to_end": round(mp / (t_up + t_seg), 2),
+            "ms_per_tile": round(t_seg * 1e3 / n_tiles, 3),
+            "peak_hbm_gb": round(peak / 1e9, 2),
+            "mask_fg_fraction": round(fg, 4),
+            "mask_digest": digest,
+        }
+        print(json.dumps(result), flush=True)
+
+    if len(digests) > 1:
+        ref = next(iter(digests.values()))
+        ok = all(d == ref for d in digests.values())
+        print(json.dumps({"band_chunk_bit_equal": ok, "digests": digests}),
+              flush=True)
+        if not ok:
+            return 1
 
     if args.preview:
         os.makedirs("/tmp/gigapixel", exist_ok=True)
@@ -154,7 +174,8 @@ def main():
         a = ((a - a.min()) / max(a.max() - a.min(), 1e-9) * 255).astype(np.uint8)
         Image.fromarray(a).save("/tmp/gigapixel/attn_preview.png")
         print("previews written to /tmp/gigapixel/", flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -45,8 +45,6 @@ def main():
     window, stride = 384, 128
     cfg = vit.VIT_SMALL(patch_size=8)
     params = pl.cast_params(vit.init(cfg, jax.random.PRNGKey(0)), jnp.bfloat16)
-    # rough per-iter device estimate for auto chain sizing (r3 column)
-    est_s = {2304: 0.64, 4608: 3.2}
 
     for size in args.sizes:
         rng = np.random.default_rng(0)
@@ -61,7 +59,16 @@ def main():
         im = step(step(img))
         float(jnp.sum(im))  # scalar sync: warmup truly finished
 
-        iters = args.iters or max(3, int(8.0 / est_s.get(size, 1.0)))
+        # self-calibrating chain length: probe one already-compiled iteration
+        # and size the chain to ~8 s of device time, so the tool stays valid
+        # across kernel speedups instead of trusting a stale per-size table
+        t0 = time.perf_counter()
+        im = step(im)
+        float(jnp.sum(im))
+        est_s = time.perf_counter() - t0
+        iters = args.iters or max(3, int(8.0 / max(est_s, 1e-3)))
+        print(json.dumps({"mosaic": f"{size}x{size}", "probe_s": round(est_s, 3),
+                          "derived_iters": iters}), flush=True)
         dt = 1e9
         for _ in range(args.repeats):
             im = img
