@@ -80,6 +80,12 @@ def parse_args():
                              "semantics, incl. per-blend truncation) instead "
                              "of the original image (the better default; "
                              "PARITY.md documented delta)")
+    parser.add_argument("--mesh", default=1, type=int,
+                        help="on a multi-chip host, shard the tile axis "
+                             "across all chips (pure-dp mesh through the "
+                             "shard_map kernel islands — masks bit-equal to "
+                             "single-chip, MULTICHIP_r04.json); 0 = force "
+                             "single-chip")
     return parser.parse_args()
 
 
@@ -104,15 +110,26 @@ def main():
                         and size[0] * size[1] > pl.STREAM_AUTO_MP * 1e6))
     band_chunk = args.band_chunk if args.band_chunk else pl.DEFAULT_BAND_CHUNK
 
+    # multi-chip by default, like mim.py:96 — a pure-dp mesh shards each
+    # tile batch (fused path) / band tile row (streamed path) across chips
+    # via the shard_map kernel islands; masks are bit-equal to single-chip
+    # (certified every round in MULTICHIP_r*.json)
+    from vit_ocm_wmsegmentation_tpu.parallel import make_mesh
+
+    mesh = make_mesh() if args.mesh and len(jax.devices()) > 1 else None
+    if mesh is not None:
+        print(f"mesh: sharding tiles across {mesh.size} devices")
+
     def segment(gray_dev, with_heat=True):
         if use_streamed:
             mask, attn = pl.segment_mosaic_streamed(
                 params, cfg, gray_dev, args.window_size, args.stride,
                 dtype=dtype, exact_stitch=bool(args.exact_stitch),
-                band_chunk=band_chunk)
+                band_chunk=band_chunk, mesh=mesh)
         else:
             mask, attn = pl.segment_mosaic(params, cfg, gray_dev, args.window_size, args.stride,
-                                           dtype=dtype, exact_stitch=bool(args.exact_stitch))
+                                           dtype=dtype, exact_stitch=bool(args.exact_stitch),
+                                           mesh=mesh)
         if not with_heat:
             return mask, attn, None
         _, _, heatmap_otsu = threshold_multiplicative(gray_dev, attn)

@@ -140,6 +140,49 @@ def test_sw_processing_stream_mode(tmp_path, monkeypatch):
         assert (out1 / f).exists()
 
 
+def test_sw_processing_auto_mesh_matches_single_chip(tmp_path, monkeypatch):
+    """The serving CLI is multi-chip by default (VERDICT r4 next #4): on the
+    conftest's 8-virtual-device backend the default run shards the tile axis
+    across the mesh (like mim.py), and its masks must be IDENTICAL to a
+    --mesh 0 single-chip run — for both the fused and the streamed route,
+    driven through the directory/stream mode."""
+    import numpy as np
+    from PIL import Image
+
+    import jax
+    import sw_processing
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
+
+    assert len(jax.devices()) > 1  # conftest virtual mesh — the point
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2, pretrain_img_size=32)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    monkeypatch.setattr(sw_processing, "load_model",
+                        lambda *a, **k: (params, cfg, "random"))
+
+    rng = np.random.default_rng(7)
+    src = tmp_path / "mosaics"
+    src.mkdir()
+    for i in range(2):
+        Image.fromarray((rng.random((96, 96)) * 255).astype(np.uint8)).save(src / f"m{i}.png")
+
+    outs = {}
+    for name, extra in (("mesh", []), ("single", ["--mesh", "0"]),
+                        ("mesh_streamed", ["--streamed", "1"]),
+                        ("single_streamed", ["--streamed", "1", "--mesh", "0"])):
+        out = tmp_path / name
+        monkeypatch.setattr(sys, "argv", [
+            "sw_processing.py", "--image_path", str(src), "--image_size", "96",
+            "--window_size", "48", "--stride", "16", "--output_dir", str(out),
+            "--save", "mask", "--writers", "1"] + extra)
+        sw_processing.main()
+        outs[name] = [np.asarray(Image.open(out / f"m{i}" / "otsu_sw.jpg").convert("L"))
+                      for i in range(2)]
+    for pair in (("mesh", "single"), ("mesh_streamed", "single_streamed")):
+        for a, b in zip(outs[pair[0]], outs[pair[1]]):
+            np.testing.assert_array_equal(a, b)
+
+
 def test_sw_processing_streamed_flag(tmp_path, monkeypatch):
     """--streamed 1 routes the mosaic through segment_mosaic_streamed (the
     bounded-memory gigapixel path, r4 CLI exposure) and must write the same

@@ -65,6 +65,102 @@ def test_fused_mlp_bf16_grad_dtypes_and_closeness():
                                    atol=0.02 * scale)
 
 
+def test_fused_mlp_save_gp_forward_and_grads_match_xla():
+    """SAVE_GP route (backward consumes saved gelu/gelu' instead of
+    recomputing from h1): forward identical to the h1 route and grads match
+    the stock XLA composition at the same gates."""
+    args = _mk(np.random.default_rng(4))
+    out_h1 = fused_mlp_block(*args, 1e-6, 64, True, False)
+    out_gp = fused_mlp_block(*args, 1e-6, 64, True, True)
+    np.testing.assert_array_equal(np.asarray(out_h1), np.asarray(out_gp))
+
+    gk = jax.grad(lambda a: jnp.sum(
+        fused_mlp_block(*a, 1e-6, 64, True, True) ** 2))(args)
+    gr = jax.grad(lambda a: jnp.sum(_ref(*a) ** 2))(args)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4 * scale)
+
+
+def test_fused_mlp_save_gp_bf16_grads_close():
+    """AMP shape of the SAVE_GP route: gp stored in the compute dtype
+    (bf16) — the extra rounding must stay inside the same bf16-ULP gate as
+    the h1-recompute route."""
+    args = tuple(a.astype(jnp.bfloat16) for a in _mk(np.random.default_rng(5)))
+    lk = lambda a: jnp.sum(
+        fused_mlp_block(*a, 1e-6, 64, True, True).astype(jnp.float32) ** 2)
+    lr = lambda a: jnp.sum(_ref(*a).astype(jnp.float32) ** 2)
+    gk, gr = jax.grad(lk)(args), jax.grad(lr)(args)
+    for a, b in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        assert a.dtype == jnp.bfloat16
+        scale = float(jnp.max(jnp.abs(b.astype(jnp.float32)))) + 1e-9
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=0.02 * scale)
+
+
+def test_mim_step_kernel_gp_mode_matches_stock(monkeypatch):
+    """MLP_REMAT='kernel' + SAVE_GP through the whole MIM loss: loss and
+    grads match stock autodiff (mirrors the h1-route test above)."""
+    from vit_ocm_wmsegmentation_tpu.ops import fused_mlp
+
+    monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    pretrain_img_size=32)
+    params = simmim.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((2, 4, 4)) > 0.5).astype(np.int32))
+
+    def lossf(p):
+        return simmim.mim_loss(p, cfg, x, mask, train=True)[0]
+
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    l0, g0 = jax.value_and_grad(lossf)(params)
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", "kernel")
+    monkeypatch.setattr(fused_mlp, "SAVE_GP", True)
+    l1, g1 = jax.value_and_grad(lossf)(params)
+
+    assert float(l1) == pytest.approx(float(l0), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4 * scale)
+
+
+def test_set_train_kernel_modes_gp_choice(monkeypatch):
+    """'kernel+gp'/'kernel+h1' select the fused block's backward residual
+    (ops/fused_mlp.SAVE_GP); 'auto' restores the shipped default; a SAVE_GP
+    flip alone clears jit caches (trace-time global)."""
+    from vit_ocm_wmsegmentation_tpu.ops import fused_mlp
+
+    monkeypatch.setattr(fused_mlp, "_SHIPPED_SAVE_GP", False)
+    monkeypatch.setattr(fused_mlp, "SAVE_GP", False)
+    monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    monkeypatch.setattr(vit_mod, "LN_QKV", None)
+
+    assert vit_mod.set_train_kernel_modes("kernel+gp", "auto")[0] == "kernel"
+    assert fused_mlp.SAVE_GP is True
+    assert vit_mod.set_train_kernel_modes("kernel+h1", "auto")[0] == "kernel"
+    assert fused_mlp.SAVE_GP is False
+    fused_mlp.SAVE_GP = True
+    vit_mod.set_train_kernel_modes("auto", "auto")
+    assert fused_mlp.SAVE_GP is False  # auto restores the shipped default
+
+    traces = []
+
+    @jax.jit
+    def f(x):
+        traces.append(fused_mlp.SAVE_GP)
+        return x * (3.0 if fused_mlp.SAVE_GP else 2.0)
+
+    x = jnp.ones((2,), jnp.float32)
+    assert float(f(x)[0]) == 2.0 and len(traces) == 1
+    vit_mod.set_train_kernel_modes("kernel+gp", "auto")
+    assert float(f(x)[0]) == 3.0 and len(traces) == 2
+
+
 def test_ln_linear_forward_and_grads_match_xla():
     from vit_ocm_wmsegmentation_tpu.ops.ln_linear import ln_linear
 

@@ -19,6 +19,10 @@ Variants, all slope-fit (tools/probe_scaling.py methodology):
              forward's saved P instead of recomputing exp(s - lse) —
              targets the measured VPU-transcendental bound of the
              attention bwd (ops/flash_attention.SAVE_P)
+  *+gp     : suffix: the fused-MLP backward consumes saved
+             gelu(h1)/gelu'(h1) instead of recomputing them from h1 —
+             transcendental-free bwd for +1 (R, H) residual of HBM
+             traffic (ops/fused_mlp.SAVE_GP; VERDICT r4 #3)
 
 Usage: python tools/probe_fused_mlp.py [--smoke] [variant ...]
 
@@ -80,10 +84,18 @@ def fit(name, fn, x0_factory, ns):
 
 def probe(variant, smoke=False, fp32=False):
     from vit_ocm_wmsegmentation_tpu.ops import flash_attention_mod as fa
+    from vit_ocm_wmsegmentation_tpu.ops import fused_mlp
 
     mode = variant
     vit_mod.LN_QKV = None
     fa.SAVE_P = False
+    fused_mlp.SAVE_GP = False
+    if mode.endswith("+gp"):
+        # fused-MLP backward consumes saved gelu(h1)/gelu'(h1) instead of
+        # recomputing from h1 — transcendental-free bwd, +1 (R, H) residual
+        # of HBM traffic (ops/fused_mlp.SAVE_GP)
+        fused_mlp.SAVE_GP = True
+        mode = mode[: -len("+gp")]
     if mode == "savep" or mode.endswith("+savep"):
         # saved-P attention backward (no exp recompute); composes with any
         # MLP/lnqkv mode

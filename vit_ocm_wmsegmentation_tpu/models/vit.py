@@ -200,7 +200,8 @@ UNROLL_INFER_BLOCKS = True
 _SHIPPED_LN_QKV = None
 LN_QKV = _SHIPPED_LN_QKV
 
-_MLP_REMAT_CHOICES = ("auto", "none", "gelu", "gelu+ln", "kernel")
+_MLP_REMAT_CHOICES = ("auto", "none", "gelu", "gelu+ln", "kernel",
+                      "kernel+gp", "kernel+h1")
 _LN_QKV_CHOICES = ("auto", "none", "kernel")
 # the saved-P route's shipped default lives with its kernel:
 # ops/flash_attention._SHIPPED_SAVE_P (single source of truth)
@@ -228,9 +229,10 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     decorator away from breaking.
     """
     from ..ops import flash_attention_mod as fa
+    from ..ops import fused_mlp
 
     global MLP_REMAT, LN_QKV
-    prev = (MLP_REMAT, LN_QKV, fa.SAVE_P)
+    prev = (MLP_REMAT, LN_QKV, fa.SAVE_P, fused_mlp.SAVE_GP)
     if mlp_remat not in _MLP_REMAT_CHOICES:
         raise ValueError(
             f"TRAIN.MLP_REMAT={mlp_remat!r} not in {_MLP_REMAT_CHOICES}")
@@ -241,6 +243,13 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
             f"TRAIN.ATTN_SAVE_P={attn_save_p!r} not in {_ATTN_SAVE_P_CHOICES}")
     if mlp_remat == "auto":
         MLP_REMAT = _SHIPPED_MLP_REMAT
+        fused_mlp.SAVE_GP = fused_mlp._SHIPPED_SAVE_GP
+    elif mlp_remat in ("kernel+gp", "kernel+h1"):
+        # explicit backward-residual selection for the fused block
+        # (ops/fused_mlp.SAVE_GP); bare "kernel" keeps the current setting
+        # so probes that set the global directly stay in control
+        MLP_REMAT = "kernel"
+        fused_mlp.SAVE_GP = mlp_remat == "kernel+gp"
     else:
         MLP_REMAT = None if mlp_remat == "none" else mlp_remat
     if ln_qkv == "auto":
@@ -251,7 +260,7 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
         fa.SAVE_P = fa._SHIPPED_SAVE_P
     else:
         fa.SAVE_P = attn_save_p == "on"
-    if (MLP_REMAT, LN_QKV, fa.SAVE_P) != prev:
+    if (MLP_REMAT, LN_QKV, fa.SAVE_P, fused_mlp.SAVE_GP) != prev:
         jax.clear_caches()
     return MLP_REMAT, LN_QKV, fa.SAVE_P
 
@@ -414,14 +423,17 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
     mode = MLP_REMAT if train else None
     if mode == "kernel":
         if kernel_ok and (on_tpu or FUSED_MLP_INTERPRET):
+            from ..ops import fused_mlp
             from ..ops.fused_mlp import fused_mlp_block, pick_block_r
 
             b, n, d = x.shape
+            save_gp = fused_mlp.SAVE_GP  # read at trace time (see SAVE_GP)
 
             def _mlp_kernel_call(xx, sc, bb, w1, b1, w2, b2):
                 out = fused_mlp_block(xx.reshape(-1, d), sc, bb, w1, b1,
                                       w2, b2, cfg.ln_eps,
-                                      pick_block_r(xx.dtype), not on_tpu)
+                                      pick_block_r(xx.dtype), not on_tpu,
+                                      save_gp)
                 return out.reshape(xx.shape)
 
             args = (x, bp["norm2"]["scale"], bp["norm2"]["bias"],

@@ -15,10 +15,14 @@ between the four backward dots of the SAME program, where Mosaic can
 overlap it with the MXU instead of serializing after it, and none of the
 (R, 4D) hidden intermediates (h1, gelu(h1), dh1, dxn) ever round-trips HBM.
 
-Saved residual: only h1 (pre-GELU, in the compute dtype) — gelu(h1) and
-gelu'(h1) are recomputed in-kernel from it (one erf + one exp, Φ shared).
-LayerNorm statistics are recomputed from x in the backward program (two
-row reductions over D, VPU work adjacent to MXU dots).
+Saved residual (SAVE_GP=False): only h1 (pre-GELU, in the compute dtype) —
+gelu(h1) and gelu'(h1) are recomputed in-kernel from it (one erf + one exp,
+Φ shared). SAVE_GP=True instead saves g = gelu(h1) and gp = gelu'(h1) from
+the forward (where the VPU work hides under the MXU anyway), making the
+backward program transcendental-free for the price of one extra (R, H)
+residual of HBM traffic. LayerNorm statistics are recomputed from x in the
+backward program either way (two row reductions over D, VPU work adjacent
+to MXU dots).
 
 Gradient accumulation: weight/bias/scale gradients accumulate across the
 sequential row-chunk grid axis into constant-index output blocks — the
@@ -46,6 +50,18 @@ _INV_SQRT2 = 1.0 / math.sqrt(2.0)
 _INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
 
 DEFAULT_BLOCK_R = 512
+
+# Backward GELU-residual mode (VERDICT r4 next #3). False: save only h1
+# (pre-GELU) and recompute gelu/gelu' in the backward (one erf + one exp,
+# Φ shared). True: the forward additionally saves g = gelu(h1) and
+# gp = gelu'(h1), so the backward's ∂x chain runs transcendental-free at
+# the cost of one more (R, H) residual round-tripping HBM — the same
+# bandwidth-vs-VPU trade the savep attention probe quantified. The
+# shipped default stays False until the on-chip probe
+# (tools/probe_fused_mlp.py "kernel+gp" variant) measures a win; its
+# verdict is recorded here and in BENCH.md either way.
+_SHIPPED_SAVE_GP = False
+SAVE_GP = _SHIPPED_SAVE_GP
 
 
 def pick_block_r(dtype) -> int:
@@ -97,7 +113,12 @@ def _gelu_pieces(h1):
 
 
 def _mlp_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                    o_ref, h1_ref, *, eps: float):
+                    o_ref, h1_ref, gp_ref, *, eps: float):
+    """Forward row chunk. Residual outputs are mode-dependent:
+    h1_ref=gp_ref=None — inference, no residuals; h1_ref only — save h1
+    (pre-GELU); h1_ref+gp_ref — save g = gelu(h1) INTO h1_ref plus
+    gp = gelu'(h1) (SAVE_GP route: both GELU factors already exist here,
+    hidden under the MXU dots, so saving them is pure stores)."""
     x32 = x_ref[...].astype(jnp.float32)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
     xc = x32 - mu
@@ -107,9 +128,14 @@ def _mlp_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     h1 = jax.lax.dot_general(
         xn, w1_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32) + b1_ref[...]
-    if h1_ref is not None:
+    if h1_ref is not None and gp_ref is None:
         h1_ref[...] = h1.astype(h1_ref.dtype)
-    g, _ = _gelu_pieces(h1)
+    if gp_ref is None:
+        g, _ = _gelu_pieces(h1)
+    else:
+        g, gp = _gelu_pieces(h1)
+        h1_ref[...] = g.astype(h1_ref.dtype)
+        gp_ref[...] = gp.astype(gp_ref.dtype)
     g = g.astype(x_ref.dtype)
     y = jax.lax.dot_general(
         g, w2_ref[...], (((1,), (0,)), ((), ())),
@@ -117,19 +143,25 @@ def _mlp_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[...] = (x32 + y).astype(o_ref.dtype)
 
 
-def _mlp_bwd_kernel(x_ref, do_ref, h1_ref, s_ref, bb_ref, w1_ref, w2_ref,
-                    dx_ref, ds_ref, dbb_ref, dw1_ref, db1_ref, dw2_ref,
-                    db2_ref, *, eps: float):
-    """One row chunk of the backward. Recomputes LN stats and the GELU
-    factors; the VPU work sits between the four dots of the same program,
-    where the scheduler can overlap it with the MXU."""
+def _mlp_bwd_kernel(x_ref, do_ref, h1_ref, gp_ref, s_ref, bb_ref, w1_ref,
+                    w2_ref, dx_ref, ds_ref, dbb_ref, dw1_ref, db1_ref,
+                    dw2_ref, db2_ref, *, eps: float):
+    """One row chunk of the backward. Recomputes LN stats — and, when
+    gp_ref is None (the save-h1 route), the GELU factors; the VPU work sits
+    between the four dots of the same program, where the scheduler can
+    overlap it with the MXU. With gp_ref present (SAVE_GP), h1_ref holds
+    g = gelu(h1) from the forward and the program is transcendental-free."""
     i = pl.program_id(0)
     x32 = x_ref[...].astype(jnp.float32)
     do32 = do_ref[...].astype(jnp.float32)
-    h1 = h1_ref[...].astype(jnp.float32)
 
-    g32, gp = _gelu_pieces(h1)
-    g = g32.astype(x_ref.dtype)
+    if gp_ref is None:
+        h1 = h1_ref[...].astype(jnp.float32)
+        g32, gp = _gelu_pieces(h1)
+        g = g32.astype(x_ref.dtype)
+    else:
+        g = h1_ref[...].astype(x_ref.dtype)
+        gp = gp_ref[...].astype(jnp.float32)
 
     # LN recompute (two row reductions over D; r kept for the backward)
     mu = jnp.mean(x32, axis=-1, keepdims=True)
@@ -188,7 +220,10 @@ def _pad_rows(x, rp):
 
 
 def _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
-              want_h1):
+              want):
+    """want: None (no residuals), "h1" (save pre-GELU h1), or "gp" (save
+    gelu(h1) AND gelu'(h1) — the SAVE_GP transcendental-free-backward
+    route)."""
     rows, d = x.shape
     hdim = w1.shape[1]
     br = min(block_r, _round_up(rows, 16))
@@ -203,13 +238,20 @@ def _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
 
     out_specs = [blk_x]
     out_shape = [jax.ShapeDtypeStruct((rp, d), x.dtype)]
-    if want_h1:
+    if want is not None:
+        out_specs.append(blk_h)
+        out_shape.append(jax.ShapeDtypeStruct((rp, hdim), x.dtype))
+    if want == "gp":
         out_specs.append(blk_h)
         out_shape.append(jax.ShapeDtypeStruct((rp, hdim), x.dtype))
         kern = functools.partial(_mlp_fwd_kernel, eps=eps)
-    else:
+    elif want == "h1":
         kern = functools.partial(
             lambda *refs, eps: _mlp_fwd_kernel(*refs, None, eps=eps), eps=eps)
+    else:
+        kern = functools.partial(
+            lambda *refs, eps: _mlp_fwd_kernel(*refs, None, None, eps=eps),
+            eps=eps)
 
     res = pl.pallas_call(
         kern,
@@ -222,8 +264,8 @@ def _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
             pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
             rep((1, d)),
         ],
-        out_specs=tuple(out_specs) if want_h1 else out_specs[0],
-        out_shape=tuple(out_shape) if want_h1 else out_shape[0],
+        out_specs=tuple(out_specs) if want is not None else out_specs[0],
+        out_shape=tuple(out_shape) if want is not None else out_shape[0],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -235,12 +277,17 @@ def _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
         ),
         interpret=interpret,
     )(xp, row2(scale), row2(bias), w1, row2(b1), w2, row2(b2))
-    if want_h1:
+    if want == "gp":
+        return res[0][:rows], res[1], res[2]
+    if want == "h1":
         return res[0][:rows], res[1]
     return res[:rows]
 
 
-def _bwd_impl(x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret):
+def _bwd_impl(x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret,
+              gpp=None):
+    """h1p holds the saved pre-GELU h1 (gpp None) or, on the SAVE_GP route,
+    the saved g = gelu(h1) with gpp = gelu'(h1)."""
     rows, d = x.shape
     hdim = w1.shape[1]
     br = min(block_r, _round_up(rows, 16))
@@ -253,11 +300,20 @@ def _bwd_impl(x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret):
     blk_h = pl.BlockSpec((br, hdim), lambda i: (i, 0), memory_space=pltpu.VMEM)
     rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
+    if gpp is None:
+        kern = functools.partial(
+            lambda x_r, do_r, h1_r, *rest, eps: _mlp_bwd_kernel(
+                x_r, do_r, h1_r, None, *rest, eps=eps), eps=eps)
+        res_in, res_specs = (h1p,), (blk_h,)
+    else:
+        kern = functools.partial(_mlp_bwd_kernel, eps=eps)
+        res_in, res_specs = (h1p, gpp), (blk_h, blk_h)
+
     dx, ds, dbb, dw1, db1, dw2, db2 = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, eps=eps),
+        kern,
         grid=(rp // br,),
         in_specs=[
-            blk_x, blk_x, blk_h,
+            blk_x, blk_x, *res_specs,
             rep((1, d)), rep((1, d)),
             pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -285,38 +341,47 @@ def _bwd_impl(x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret):
         ),
         cost_estimate=pl.CostEstimate(
             flops=12 * rows * d * hdim,
-            bytes_accessed=(4 * rp * d + rp * hdim + 4 * d * hdim) * x.dtype.itemsize,
-            transcendentals=2 * rp * hdim,
+            bytes_accessed=(4 * rp * d + len(res_in) * rp * hdim
+                            + 4 * d * hdim) * x.dtype.itemsize,
+            transcendentals=0 if gpp is not None else 2 * rp * hdim,
         ),
         interpret=interpret,
-    )(xp, dop, h1p, row2(scale), row2(bias), w1, w2)
+    )(xp, dop, *res_in, row2(scale), row2(bias), w1, w2)
     return dx[:rows], ds, dbb, dw1, db1, dw2, db2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10))
 def fused_mlp_block(x, scale, bias, w1, b1, w2, b2, eps: float = 1e-6,
-                    block_r: int = DEFAULT_BLOCK_R, interpret: bool = False):
+                    block_r: int = DEFAULT_BLOCK_R, interpret: bool = False,
+                    save_gp: bool = _SHIPPED_SAVE_GP):
     """x + gelu(LN(x; scale, bias) @ w1 + b1) @ w2 + b2, fused on TPU.
 
     x: (R, D) row-major token stream (callers flatten (B, N, D));
     w1: (D, H); w2: (H, D). Differentiable via a Pallas backward kernel.
     Parameter gradients come back in f32 (matching the AMP master-grad
     convention: the cast-to-bf16's VJP upcasts cotangents anyway).
+    save_gp (static): save gelu(h1)/gelu'(h1) from the forward instead of
+    recomputing them from h1 in the backward (see SAVE_GP above).
     """
     return _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
-                     want_h1=False)
+                     want=None)
 
 
-def _fused_mlp_fwd(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret):
+def _fused_mlp_fwd(x, scale, bias, w1, b1, w2, b2, eps, block_r, interpret,
+                   save_gp):
+    if save_gp:
+        out, gres, gpres = _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps,
+                                     block_r, interpret, want="gp")
+        return out, (x, gres, gpres, scale, bias, w1, w2)
     out, h1p = _fwd_impl(x, scale, bias, w1, b1, w2, b2, eps, block_r,
-                         interpret, want_h1=True)
-    return out, (x, h1p, scale, bias, w1, w2)
+                         interpret, want="h1")
+    return out, (x, h1p, None, scale, bias, w1, w2)
 
 
-def _fused_mlp_bwd(eps, block_r, interpret, res, do):
-    x, h1p, scale, bias, w1, w2 = res
+def _fused_mlp_bwd(eps, block_r, interpret, save_gp, res, do):
+    x, h1p, gpp, scale, bias, w1, w2 = res
     dx, ds, dbb, dw1, db1, dw2, db2 = _bwd_impl(
-        x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret)
+        x, do, h1p, scale, bias, w1, w2, eps, block_r, interpret, gpp)
     cast = lambda g, ref: g.astype(ref.dtype)  # cotangent dtype == primal's
     # biases share their weight's dtype (one params pytree, one AMP cast)
     return (dx,
