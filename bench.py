@@ -102,8 +102,12 @@ def main():
 
     # min over repeats: the relay adds sporadic multi-ms stalls; the fastest
     # full chain is the one where the device ran back-to-back, which is the
-    # sustained rate (cross-checked by tools/probe_scaling.py's slope fit)
-    iters = 20
+    # sustained rate (cross-checked by tools/probe_scaling.py's slope fit).
+    # 60-iteration chains (r5, VERDICT r4 next #2): the fixed ~26 ms relay
+    # dispatch intercept per chain amortizes to ~0.4 ms/mosaic instead of
+    # the 1.3 ms/mosaic it cost at 20 — the wall number converges on the
+    # slope-fit sustained rate instead of sitting 1.7 % under it
+    iters = 60
     dt = 1e9
     for _ in range(3):
         im = img
