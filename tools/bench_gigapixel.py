@@ -69,6 +69,11 @@ def main():
                          "K-fold; the all-bands sweep crashed the worker). "
                          "Several values sweep K over the same uploaded "
                          "mosaic and assert the mask digest is identical.")
+    ap.add_argument("--repeats", type=int, default=1,
+                    help="segmentations per K; reported segment_s is the "
+                         "min (the first run of a K pays that K's band-"
+                         "graph compile — >=2 separates compile from "
+                         "steady-state)")
     args = ap.parse_args()
 
     from vit_ocm_wmsegmentation_tpu import pipeline as pl
@@ -127,14 +132,19 @@ def main():
     digests = {}
     mask = attn = None
     for bc in args.band_chunk:
-        t0 = time.time()
-        mask, attn = pl.segment_mosaic_streamed(
-            params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
-            progress=None if args.no_progress else progress,
-            single_dispatch=args.single_dispatch, band_chunk=bc)
-        # scalar sync: all chained band dispatches + threshold truly executed
-        fg = float((mask > 0).astype(jnp.float32).mean())
-        t_seg = time.time() - t0
+        t_seg, t_first = 1e18, None
+        for _ in range(max(args.repeats, 1)):
+            t0 = time.time()
+            mask, attn = pl.segment_mosaic_streamed(
+                params, cfg, img_dev, window, stride, dtype=jnp.bfloat16,
+                progress=None if args.no_progress else progress,
+                single_dispatch=args.single_dispatch, band_chunk=bc)
+            # scalar sync: all chained band dispatches + threshold executed
+            fg = float((mask > 0).astype(jnp.float32).mean())
+            dt = time.time() - t0
+            if t_first is None:
+                t_first = dt
+            t_seg = min(t_seg, dt)
         d1, d2 = _digest(mask)
         digest = f"{int(d1):08x}-{int(d2):08x}"
         digests[bc] = digest
@@ -147,6 +157,7 @@ def main():
             "band_chunk": bc,
             "upload_s": round(t_up, 1),
             "segment_s": round(t_seg, 1),
+            "first_run_s": round(t_first, 1),
             "mp_per_s_device": round(mp / t_seg, 2),
             "mp_per_s_end_to_end": round(mp / (t_up + t_seg), 2),
             "ms_per_tile": round(t_seg * 1e3 / n_tiles, 3),
