@@ -36,10 +36,17 @@ from .ops.resize import resize_linear_cv2, smooth_attention
 # BENCH.md's size-scaling table; streamed is bit-identical and bounded).
 STREAM_AUTO_MP = 22
 
-# Tile rows per streamed dispatch (band_chunk): K-fold fewer relay round
-# trips, identical numbers (tests/test_pipeline.py band_chunk bit-equal).
-# Value chosen by the r4 on-chip sweep (tools/bench_gigapixel.py --band_chunk
-# K in {1,4,8,16} at 8192²; BENCH.md gigapixel rows).
+# Tile rows per streamed dispatch (band_chunk): identical numbers
+# (tests/test_pipeline.py band_chunk bit-equal; full-1.07 GP digest equality
+# in BENCH.md). The r5 on-chip sweep (tools/bench_gigapixel.py --band_chunk,
+# warm, min-of-2; BENCH.md "band_chunk sweep" table) measured steady-state
+# FLAT in K — 9.0/9.1/9.1/9.1 s at 8192² for K=1/4/8/16 and 152.7 s at
+# 32768² for both K=1 and K=8: the async dispatch queue already hides the
+# per-band relay round trips that grouping was built to remove (r3's
+# ~0.9 ms/tile K=1 overhead predated the hoisted per-band uploads). K=8 is
+# kept as the default because grouping is free and sends 8× fewer host
+# dispatches — headroom for serving mode, where the dispatch loop shares
+# the host with decode/encode threads.
 DEFAULT_BAND_CHUNK = 8
 
 
