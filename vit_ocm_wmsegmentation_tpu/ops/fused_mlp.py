@@ -56,10 +56,18 @@ DEFAULT_BLOCK_R = 512
 # Φ shared). True: the forward additionally saves g = gelu(h1) and
 # gp = gelu'(h1), so the backward's ∂x chain runs transcendental-free at
 # the cost of one more (R, H) residual round-tripping HBM — the same
-# bandwidth-vs-VPU trade the savep attention probe quantified. The
-# shipped default stays False until the on-chip probe
-# (tools/probe_fused_mlp.py "kernel+gp" variant) measures a win; its
-# verdict is recorded here and in BENCH.md either way.
+# bandwidth-vs-VPU trade the savep attention probe quantified.
+# r5 on-chip verdict: NEGATIVE, stays False. At the shipped BLOCK_R=512
+# the gp forward reproducibly crashes the Mosaic compiler (remote
+# tpu_compile_helper exit 1, 2 attempts on different helper instances —
+# the two extra (512, 1536) residual writes exceed what the backend will
+# schedule); at BLOCK_R=128 it compiles, is grad-exact (probe guard
+# green: loss drift 2e-6, gnorm 6.6e-4 relative), and measures
+# 50.41 ms/iter on the MIM AMP step vs 46.6 for the shipped save-h1
+# kernel@512 and 49.7 baseline — the extra residual bandwidth plus the
+# forced smaller block costs more than the removed erf/exp passes gain
+# (tools/probe_fused_mlp.py "kernel+gp"/"kernel@128+gp", BENCH.md r5
+# probe rows).
 _SHIPPED_SAVE_GP = False
 SAVE_GP = _SHIPPED_SAVE_GP
 
