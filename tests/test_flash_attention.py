@@ -300,6 +300,9 @@ def test_scan_blocks_padded_stream_equivalence(monkeypatch):
 
     monkeypatch.setattr(fa, "mha_flash", fake_mha_flash)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # pin the shipped lnout MLP route off: this test fakes a "tpu" backend
+    # on CPU, where a real (non-interpret) Pallas dispatch cannot lower
+    monkeypatch.setattr(vit_mod, "INFER_MLP_LNOUT", False)
     got = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
@@ -360,6 +363,7 @@ def test_scan_blocks_unrolled_matches_scan(monkeypatch):
     monkeypatch.setattr(fa, "mha_flash", fake_mha_flash)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(vit_mod, "MLP_REMAT", None)
+    monkeypatch.setattr(vit_mod, "INFER_MLP_LNOUT", False)  # faked backend
     monkeypatch.setattr(vit_mod, "UNROLL_INFER_BLOCKS", False)
     want = vit_mod._scan_blocks(params, cfg, x, 0, cfg.depth)
     monkeypatch.setattr(vit_mod, "UNROLL_INFER_BLOCKS", True)

@@ -380,3 +380,68 @@ def test_pick_block_r_dtype_rule():
     out = fused_mlp_block(*args, 1e-6, pick_block_r(jnp.float32), True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(*args)),
                                atol=2e-6)
+
+
+def test_infer_mlp_kernel_matches_stock_forward(monkeypatch):
+    """INFER_MLP_KERNEL routes the inference block MLP through the fused
+    Pallas forward (want=None, no residual outputs); the full inference
+    forward_features must match the stock XLA path (r5; the on-chip A/B
+    lives in tools/probe_infer_mlp.py, verdict in BENCH.md)."""
+    from vit_ocm_wmsegmentation_tpu.models import vit
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=2, num_heads=2,
+                    pretrain_img_size=32)
+    params = vit.init(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+
+    monkeypatch.setattr(vit_mod, "INFER_MLP_KERNEL", False)
+    ref = vit.forward_features(params, cfg, x)
+    monkeypatch.setattr(vit_mod, "INFER_MLP_KERNEL", True)
+    # without the interpret escape hatch the CPU backend must fall back to
+    # the stock path (the Pallas route is TPU-only)
+    same = vit.forward_features(params, cfg, x)
+    np.testing.assert_array_equal(np.asarray(same), np.asarray(ref))
+    monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
+    out = vit.forward_features(params, cfg, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_mlp_lnout_matches_stock_composition():
+    """fused_mlp_block_lnout's (out, z) vs stock: out as fused_mlp_block,
+    z = layer_norm(out; next scale/bias)."""
+    from vit_ocm_wmsegmentation_tpu.ops.fused_mlp import fused_mlp_block_lnout
+
+    rng = np.random.default_rng(4)
+    args = _mk(rng)
+    s2 = jnp.asarray(rng.normal(1, 0.1, 64).astype(np.float32))
+    b2 = jnp.asarray(rng.normal(0, 0.1, 64).astype(np.float32))
+    out, z = fused_mlp_block_lnout(*args, s2, b2, 1e-6, 64, True)
+    ref_out = _ref(*args)
+    ref_z = nn.layer_norm({"scale": s2, "bias": b2}, ref_out, 1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(ref_z), atol=2e-5)
+
+
+def test_infer_mlp_lnout_route_matches_stock_forward(monkeypatch):
+    """INFER_MLP_LNOUT threads each layer's kernel-emitted z into the next
+    layer's attention; the full inference forward must match stock."""
+    from vit_ocm_wmsegmentation_tpu.models import vit
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=3, num_heads=2,
+                    pretrain_img_size=32)
+    params = vit.init(cfg, jax.random.PRNGKey(1))
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+
+    ref = vit.forward_features(params, cfg, x)
+    monkeypatch.setattr(vit_mod, "INFER_MLP_LNOUT", True)
+    monkeypatch.setattr(vit_mod, "FUSED_MLP_INTERPRET", True)
+    out = vit.forward_features(params, cfg, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # intermediate-range call (blocks [0, depth-1) then a manual block):
+    # the route must not leak z past `hi`
+    ref_il = vit.get_intermediate_layers(params, cfg, x, n=1)
+    out_il = vit.get_intermediate_layers(params, cfg, x, n=1)
+    np.testing.assert_allclose(np.asarray(out_il), np.asarray(ref_il),
+                               atol=2e-5)

@@ -59,9 +59,11 @@ def aggregate(logdir, n_iters):
             continue
         meta = plane.event_metadata
         for line in plane.lines:
-            # XLA op lines carry the per-op events; step lines duplicate time
+            # ONLY the serial "XLA Ops" line: "Async XLA Ops" durations span
+            # copy-start..copy-done and overlap compute — summing them
+            # double-counts (r5: it inflated the mosaic total 109 -> 179 ms)
             lname = line.name.lower()
-            if "xla op" not in lname and "ops" != lname:
+            if lname not in ("xla ops", "ops"):
                 continue
             for ev in line.events:
                 name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"

@@ -190,6 +190,52 @@ FUSED_MLP_INTERPRET = False
 # (tests/test_flash_attention.py::test_unrolled_infer_blocks_match_scan).
 UNROLL_INFER_BLOCKS = True
 
+# Inference-path MLP dispatch: True routes each block's residual+LN2+MLP
+# through the forward-only Pallas fused block (ops/fused_mlp.py, want=None
+# — no residual outputs), keeping the (R, 1536) hidden in VMEM instead of
+# round-tripping it through HBM. Motivation is the r5 per-op trace of the
+# 1152² mosaic graph (tools/trace_ops.py mosaic): XLA's stock inference
+# MLP compiles to one 3.46 ms/layer kOutput fusion — 34.7 ms (32 %) of
+# the 109.3 ms mosaic — against a ~1.6 ms matmul floor at the measured
+# 180 TF/s rate, the gap being the h1 HBM round-trip the kernel removes.
+# Shipped False: the standalone block is 1.5 ms/layer faster than the
+# stock composition (tools/probe_mlp_micro.py: kernel@512 2.73 ms vs
+# stock-XLA 4.24, bare matmul-pair floor 1.59), but in-graph XLA's stock
+# kOutput fusion also computes the NEXT layer's LN1 row stats as a free
+# second output (r5 trace: the f32[49,2432] operand), and routing the
+# MLP through this Pallas call re-materializes those stats as standalone
+# passes costing ~2 ms/mosaic of the ~10 saved (clean interleaved A/B,
+# tools/probe_infer_mlp.py --arms stock kernel lnout: 109.73 stock /
+# 101.55 kernel / 99.53 lnout ms, BENCH.md r5). The lnout variant below
+# also keeps those stats in VMEM by emitting the next layer's normalized
+# input from inside the kernel; it is the shipped route, so this plain
+# variant stays off.
+_SHIPPED_INFER_MLP_KERNEL = False
+INFER_MLP_KERNEL = _SHIPPED_INFER_MLP_KERNEL
+
+# The follow-up: the fused-MLP kernel variant that ALSO emits the next
+# layer's normalized input (ops/fused_mlp.fused_mlp_block_lnout) so the
+# plain-kernel route's lost LN1 stats stay in VMEM — the unrolled
+# inference loop threads z = LN_next(out) straight into the next qkv
+# projection, so no standalone LN pass over the 91 MB residual stream
+# remains (first layer excepted). Single-device / kernel-mesh-free only
+# (dp_island is single-output; meshes take the stock route — on a
+# multi-chip mesh masks therefore match the stock route, not this one).
+# Shipped TRUE by the r5 on-chip A/B (tools/probe_infer_mlp.py, arms
+# interleaved with cache clearing — see set_infer_mlp for why that
+# matters): 99.49 vs 109.71 ms/mosaic, x2 reproduced to 0.01 ms —
+# 13.34 MP/s vs 12.10. Mask delta vs the stock route is Dice 0.9932
+# (pixel agreement 99.4 %): the kernel's Eigen-rational erf differs from
+# XLA's by ~1 ulp and min-max+Otsu amplifies that at threshold-boundary
+# pixels — the same ±1-bin boundary-flip class as the documented
+# cross-stack residual, SMALLER than the reference chain's own
+# threshold-jitter envelope (Dice 0.9867 for thr±1, BENCH.md error
+# budget). bench.py's bf16-vs-f32 Dice>0.99 gate and the executed-
+# reference parity row were re-run green on the shipped route (BENCH.md
+# r5).
+_SHIPPED_INFER_MLP_LNOUT = True
+INFER_MLP_LNOUT = _SHIPPED_INFER_MLP_LNOUT
+
 # Training-path pre-attention norm: "kernel" fuses LN1 into the qkv
 # projection (ops/ln_linear.py) so the LN backward reductions run between
 # the projection's backward dots. None = stock layer_norm + dot. Measured
@@ -263,6 +309,41 @@ def set_train_kernel_modes(mlp_remat="auto", ln_qkv="auto", attn_save_p="auto"):
     if (MLP_REMAT, LN_QKV, fa.SAVE_P, fused_mlp.SAVE_GP) != prev:
         jax.clear_caches()
     return MLP_REMAT, LN_QKV, fa.SAVE_P
+
+
+_INFER_MLP_CHOICES = ("auto", "none", "kernel", "lnout")
+
+
+def set_infer_mlp(mode="auto"):
+    """Select the inference-path MLP dispatch (INFER_MLP_KERNEL /
+    INFER_MLP_LNOUT above): "lnout" = cross-layer fused Pallas block,
+    "kernel" = plain fused block, "none" = stock XLA, "auto" = the
+    measured-best shipped default. Returns the effective mode.
+
+    Changing the effective mode clears jax's jit caches — the knobs are
+    read at TRACE time inside pipeline graphs cached under module-level
+    @jax.jit (segment_mosaic etc.), so a same-process flip would
+    otherwise keep serving the previously traced route. This is not
+    hypothetical: the r5 on-chip A/B first measured lnout == stock to
+    0.01 ms BECAUSE both arms hit the first arm's cached segment_mosaic
+    jaxpr; with the caches cleared the real difference is ~10 ms/mosaic
+    (BENCH.md r5).
+    """
+    global INFER_MLP_KERNEL, INFER_MLP_LNOUT
+    if mode not in _INFER_MLP_CHOICES:
+        raise ValueError(
+            f"infer mlp mode {mode!r} not in {_INFER_MLP_CHOICES}")
+    prev = (INFER_MLP_KERNEL, INFER_MLP_LNOUT)
+    if mode == "auto":
+        INFER_MLP_KERNEL = _SHIPPED_INFER_MLP_KERNEL
+        INFER_MLP_LNOUT = _SHIPPED_INFER_MLP_LNOUT
+    else:
+        INFER_MLP_KERNEL = mode == "kernel"
+        INFER_MLP_LNOUT = mode == "lnout"
+    if (INFER_MLP_KERNEL, INFER_MLP_LNOUT) != prev:
+        jax.clear_caches()
+    return ("kernel" if INFER_MLP_KERNEL
+            else "lnout" if INFER_MLP_LNOUT else "none")
 
 
 _INFER_QUANT_CHOICES = ("auto", "none", "int8")
@@ -454,7 +535,74 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
         return x + mlp(x)
     from ..ops.quant import quant_enabled
 
-    return x + _mlp_forward(bp, cfg, x, quant=not train and quant_enabled())
+    use_quant = not train and quant_enabled()
+    if (not train and not use_quant and INFER_MLP_KERNEL and kernel_ok
+            and (on_tpu or FUSED_MLP_INTERPRET)):
+        # forward-only fused residual+LN2+MLP Pallas block (see the
+        # INFER_MLP_KERNEL definition above): same primal as the training
+        # route's custom VJP, but want=None — no residual outputs to DCE
+        from ..ops.fused_mlp import fused_mlp_block, pick_block_r
+
+        d = x.shape[-1]
+
+        def _mlp_infer_call(xx, sc, bb, w1, b1, w2, b2):
+            out = fused_mlp_block(xx.reshape(-1, d), sc, bb, w1, b1, w2, b2,
+                                  cfg.ln_eps, pick_block_r(xx.dtype),
+                                  not on_tpu)
+            return out.reshape(xx.shape)
+
+        args = (x, bp["norm2"]["scale"], bp["norm2"]["bias"],
+                bp["mlp"]["w1"], bp["mlp"]["b1"],
+                bp["mlp"]["w2"], bp["mlp"]["b2"])
+        if pure_dp(mesh):
+            return dp_island(_mlp_infer_call, mesh, *args)
+        return _mlp_infer_call(*args)
+    return x + _mlp_forward(bp, cfg, x, quant=use_quant)
+
+
+def _lnout_available():
+    """INFER_MLP_LNOUT route gate: kernel-capable backend, no kernel mesh
+    (dp_island is single-output, so meshes keep the stock route)."""
+    from ..parallel.mesh import kernel_mesh
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    mesh = kernel_mesh()
+    return ((on_tpu or FUSED_MLP_INTERPRET)
+            and (mesh is None or mesh.size == 1))
+
+
+def _block_forward_lnout(bp, next_norm1, cfg: ViTConfig, x, h_pre, *,
+                         n_valid=None):
+    """One inference block on the cross-layer-fused route (INFER_MLP_LNOUT).
+
+    h_pre is this layer's normalized input as emitted by the PREVIOUS
+    layer's fused MLP kernel (None for the first layer — computed here);
+    when next_norm1 is given, returns (x, z) where z = LN(x)·s2 + b2 is
+    the NEXT layer's normalized input, computed inside the kernel while
+    the residual chunk is in VMEM (ops/fused_mlp.fused_mlp_block_lnout).
+    Semantics are identical to _block_forward + the next layer's LN1.
+    """
+    from ..ops import fused_mlp as fm
+
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    h = h_pre if h_pre is not None else nn.layer_norm(bp["norm1"], x,
+                                                      cfg.ln_eps)
+    y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid,
+                     prefer_folded=False, train=False)
+    x = x + y
+    d = x.shape[-1]
+    br = fm.pick_block_r(x.dtype)
+    mlp_args = (bp["norm2"]["scale"], bp["norm2"]["bias"],
+                bp["mlp"]["w1"], bp["mlp"]["b1"],
+                bp["mlp"]["w2"], bp["mlp"]["b2"])
+    if next_norm1 is None:
+        out = fm.fused_mlp_block(x.reshape(-1, d), *mlp_args, cfg.ln_eps,
+                                 br, not on_tpu)
+        return out.reshape(x.shape), None
+    out, z = fm.fused_mlp_block_lnout(
+        x.reshape(-1, d), *mlp_args, next_norm1["scale"],
+        next_norm1["bias"], cfg.ln_eps, br, not on_tpu)
+    return out.reshape(x.shape), z.reshape(x.shape)
 
 
 def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",
@@ -499,7 +647,23 @@ def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",
 
     if remat:
         body = jax.checkpoint(body)
-    if UNROLL_INFER_BLOCKS and pad_stream and not remat:
+    on_cpu_interp = (FUSED_MLP_INTERPRET
+                     and jax.default_backend() not in ("tpu", "axon"))
+    if (INFER_MLP_LNOUT and not train and not remat and impl == "auto"
+            and (pad_stream or on_cpu_interp) and _lnout_available()):
+        # cross-layer fused route (see INFER_MLP_LNOUT): each layer's MLP
+        # kernel emits the next layer's normalized input; the last layer
+        # in [lo, hi) emits none — callers running blocks past `hi`
+        # manually (get_intermediate_*) do their own LN, unchanged.
+        h_pre = None
+        for i in range(hi - lo):
+            bp_i = jax.tree.map(lambda a, i=i: a[i], sliced)
+            nxt = (jax.tree.map(lambda a, i=i: a[i + 1],
+                                sliced["norm1"])
+                   if i + 1 < hi - lo else None)
+            x, h_pre = _block_forward_lnout(bp_i, nxt, cfg, x, h_pre,
+                                            n_valid=n_valid)
+    elif UNROLL_INFER_BLOCKS and pad_stream and not remat:
         # Unrolled inference block loop (r4): the lax.scan carry forces XLA
         # to pick ONE layout for the residual stream across the loop
         # boundary, and it picks token-minor {1,2,0} — every layer then

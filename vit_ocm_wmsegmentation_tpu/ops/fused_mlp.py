@@ -151,6 +151,95 @@ def _mlp_fwd_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     o_ref[...] = (x32 + y).astype(o_ref.dtype)
 
 
+def _mlp_fwd_lnout_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref,
+                          b2_ref, s2_ref, bb2_ref, o_ref, z_ref, *,
+                          eps: float):
+    """Inference forward row chunk that ALSO emits the NEXT layer's
+    normalized input z = LN(out)·s2 + bb2 while `out` is still in VMEM.
+
+    Rationale (r5 trace + A/B, BENCH.md "where the remaining 109.3 ms
+    lives"): XLA's stock in-graph MLP kOutput fusion computes the next
+    layer's LN1 row stats as a free second output; the plain fused block
+    (want=None) re-materializes them as standalone 91 MB passes, which
+    eats its standalone 1.5 ms/layer win. Emitting z here keeps the
+    whole LN1 of the next layer inside this kernel for one extra (br, D)
+    store — the next qkv projection consumes z directly."""
+    x32 = x_ref[...].astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mu
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    xh = xc * jax.lax.rsqrt(var + eps)
+    xn = (xh * s_ref[...] + bb_ref[...]).astype(x_ref.dtype)
+    h1 = jax.lax.dot_general(
+        xn, w1_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b1_ref[...]
+    g, _ = _gelu_pieces(h1)
+    g = g.astype(x_ref.dtype)
+    y = jax.lax.dot_general(
+        g, w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) + b2_ref[...]
+    out_c = (x32 + y).astype(o_ref.dtype)
+    o_ref[...] = out_c
+    # z is computed from the ROUNDED residual stream (bf16 on the AMP
+    # path), exactly as the stock next-layer LN reads it — computing from
+    # the f32 pre-rounding value would be a (tiny) parity delta vs stock
+    out32 = out_c.astype(jnp.float32)
+    mu2 = jnp.mean(out32, axis=-1, keepdims=True)
+    oc = out32 - mu2
+    var2 = jnp.mean(oc * oc, axis=-1, keepdims=True)
+    zh = oc * jax.lax.rsqrt(var2 + eps)
+    z_ref[...] = (zh * s2_ref[...] + bb2_ref[...]).astype(z_ref.dtype)
+
+
+def fused_mlp_block_lnout(x, scale, bias, w1, b1, w2, b2, scale2, bias2,
+                          eps: float = 1e-6, block_r: int = DEFAULT_BLOCK_R,
+                          interpret: bool = False):
+    """(out, z): out = x + mlp(LN(x)), z = LN(out)·scale2 + bias2.
+
+    Inference-only (no VJP): the z output is the NEXT transformer layer's
+    normalized input, computed while the residual row chunk is in VMEM —
+    see _mlp_fwd_lnout_kernel. x: (R, D) row-major."""
+    rows, d = x.shape
+    hdim = w1.shape[1]
+    br = min(block_r, _round_up(rows, 16))
+    rp = _round_up(rows, br)
+    xp = _pad_rows(x, rp)
+    row2 = lambda a: a.reshape(1, -1).astype(jnp.float32)
+
+    blk_x = pl.BlockSpec((br, d), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    rep = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM)
+    out, z = pl.pallas_call(
+        functools.partial(_mlp_fwd_lnout_kernel, eps=eps),
+        grid=(rp // br,),
+        in_specs=[
+            blk_x,
+            rep((1, d)), rep((1, d)),
+            pl.BlockSpec((d, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rep((1, hdim)),
+            pl.BlockSpec((hdim, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            rep((1, d)),
+            rep((1, d)), rep((1, d)),
+        ],
+        out_specs=(blk_x, blk_x),
+        out_shape=(jax.ShapeDtypeStruct((rp, d), x.dtype),
+                   jax.ShapeDtypeStruct((rp, d), x.dtype)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * rows * d * hdim,
+            bytes_accessed=(3 * rp * d + rp * hdim
+                            + 2 * d * hdim) * x.dtype.itemsize,
+            transcendentals=rp * hdim,
+        ),
+        interpret=interpret,
+    )(xp, row2(scale), row2(bias), w1, row2(b1), w2, row2(b2),
+      row2(scale2), row2(bias2))
+    return out[:rows], z[:rows]
+
+
 def _mlp_bwd_kernel(x_ref, do_ref, h1_ref, gp_ref, s_ref, bb_ref, w1_ref,
                     w2_ref, dx_ref, ds_ref, dbb_ref, dw1_ref, db1_ref,
                     dw2_ref, db2_ref, *, eps: float):
