@@ -157,11 +157,11 @@ def _mlp_fwd_lnout_kernel(x_ref, s_ref, bb_ref, w1_ref, b1_ref, w2_ref,
     """Inference forward row chunk that ALSO emits the NEXT layer's
     normalized input z = LN(out)·s2 + bb2 while `out` is still in VMEM.
 
-    Rationale (r5 trace + A/B, BENCH.md "where the remaining 109.3 ms
-    lives"): XLA's stock in-graph MLP kOutput fusion computes the next
+    Rationale (r5 trace + A/B, BENCH.md "tracing the remaining
+    109.3 ms"): XLA's stock in-graph MLP kOutput fusion computes the next
     layer's LN1 row stats as a free second output; the plain fused block
-    (want=None) re-materializes them as standalone 91 MB passes, which
-    eats its standalone 1.5 ms/layer win. Emitting z here keeps the
+    (want=None) re-materializes them as standalone passes costing ~2 ms
+    of the ~10 ms/mosaic it saves. Emitting z here keeps the
     whole LN1 of the next layer inside this kernel for one extra (br, D)
     store — the next qkv projection consumes z directly."""
     x32 = x_ref[...].astype(jnp.float32)
