@@ -47,6 +47,14 @@ def parse_args():
     parser.add_argument("--query_rate", type=int, default=10)
     parser.add_argument("--save_query", type=bool, default=False)
     parser.add_argument("--save_feature", type=bool, default=False)
+    parser.add_argument("--infer_mlp", default="auto",
+                        choices=["auto", "none", "kernel", "lnout"],
+                        help="inference MLP dispatch: auto = the measured-"
+                             "best shipped route (the cross-layer fused "
+                             "Pallas block, 13.34 vs 12.10 MP/s — BENCH.md "
+                             "r5); none = stock XLA (exact-erf masks); "
+                             "kernel/lnout select a route explicitly "
+                             "(models/vit.set_infer_mlp)")
     parser.add_argument("--quant", default="none", choices=["none", "int8"],
                         help="inference quantization: int8 runs the "
                              "projection/MLP matmuls as dynamic W8A8 dots "
@@ -203,6 +211,9 @@ def main():
     from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_quant
 
     set_infer_quant(args.quant)
+    from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_mlp
+
+    set_infer_mlp(args.infer_mlp)
 
     if args.image_path is None:
         raise SystemExit("Please use the `--image_path` argument to indicate the path of the image.")

@@ -49,6 +49,14 @@ def parse_args():
                         help="run the ViT in bfloat16 (MXU-native; attention "
                              "maps still leave in f32 and thresholds/metrics "
                              "are unchanged). 0 = float32 like the reference")
+    parser.add_argument("--infer_mlp", default="auto",
+                        choices=["auto", "none", "kernel", "lnout"],
+                        help="inference MLP dispatch: auto = the measured-"
+                             "best shipped route (the cross-layer fused "
+                             "Pallas block, 13.34 vs 12.10 MP/s — BENCH.md "
+                             "r5); none = stock XLA (exact-erf masks); "
+                             "kernel/lnout select a route explicitly "
+                             "(models/vit.set_infer_mlp)")
     parser.add_argument("--quant", default="none", choices=["none", "int8"],
                         help="inference quantization: int8 runs the "
                              "projection/MLP matmuls as dynamic W8A8 dots on "
@@ -81,6 +89,9 @@ def main():
     from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_quant
 
     set_infer_quant(args.quant)
+    from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_mlp
+
+    set_infer_mlp(args.infer_mlp)
     acc, f1, loss = evaluation.validate(
         params, cfg, samples, method=args.method, crop=args.crop,
         median_size=int(args.median_filter), logger=logger,

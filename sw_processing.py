@@ -55,6 +55,14 @@ def parse_args():
                         help="directory mode: artifacts per mosaic; 'mask' "
                              "writes only otsu_sw.jpg (1/3 the encode + "
                              "wire bytes)")
+    parser.add_argument("--infer_mlp", default="auto",
+                        choices=["auto", "none", "kernel", "lnout"],
+                        help="inference MLP dispatch: auto = the measured-"
+                             "best shipped route (the cross-layer fused "
+                             "Pallas block, 13.34 vs 12.10 MP/s — BENCH.md "
+                             "r5); none = stock XLA (exact-erf masks); "
+                             "kernel/lnout select a route explicitly "
+                             "(models/vit.set_infer_mlp)")
     parser.add_argument("--quant", default="none", choices=["none", "int8"],
                         help="inference quantization: int8 runs the "
                              "projection/MLP matmuls as dynamic W8A8 dots "
@@ -103,6 +111,9 @@ def main():
     from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_quant
 
     set_infer_quant(args.quant)
+    from vit_ocm_wmsegmentation_tpu.models.vit import set_infer_mlp
+
+    set_infer_mlp(args.infer_mlp)
     create_dir(args.output_dir)
 
     use_streamed = (args.streamed == "1"

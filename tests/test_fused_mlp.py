@@ -445,3 +445,47 @@ def test_infer_mlp_lnout_route_matches_stock_forward(monkeypatch):
     out_il = vit.get_intermediate_layers(params, cfg, x, n=1)
     np.testing.assert_allclose(np.asarray(out_il), np.asarray(ref_il),
                                atol=2e-5)
+
+
+def test_set_infer_mlp_choices_and_cache_clear(monkeypatch):
+    """set_infer_mlp validates choices, 'auto' restores the shipped
+    default, and an effective-mode change clears jit caches (the knobs are
+    read at trace time inside pipeline graphs cached under module-level
+    @jax.jit — the r5 A/B initially measured lnout == stock because the
+    first arm's cached segment_mosaic jaxpr served both arms)."""
+    import pytest as _pytest
+
+    monkeypatch.setattr(vit_mod, "INFER_MLP_KERNEL", False)
+    monkeypatch.setattr(vit_mod, "INFER_MLP_LNOUT", False)
+
+    with _pytest.raises(ValueError):
+        vit_mod.set_infer_mlp("bogus")
+
+    assert vit_mod.set_infer_mlp("kernel") == "kernel"
+    assert vit_mod.INFER_MLP_KERNEL and not vit_mod.INFER_MLP_LNOUT
+    assert vit_mod.set_infer_mlp("lnout") == "lnout"
+    assert vit_mod.INFER_MLP_LNOUT and not vit_mod.INFER_MLP_KERNEL
+    assert vit_mod.set_infer_mlp("none") == "none"
+    assert not vit_mod.INFER_MLP_KERNEL and not vit_mod.INFER_MLP_LNOUT
+    # auto restores the shipped defaults
+    eff = vit_mod.set_infer_mlp("auto")
+    assert vit_mod.INFER_MLP_KERNEL == vit_mod._SHIPPED_INFER_MLP_KERNEL
+    assert vit_mod.INFER_MLP_LNOUT == vit_mod._SHIPPED_INFER_MLP_LNOUT
+    assert eff == ("kernel" if vit_mod.INFER_MLP_KERNEL
+                   else "lnout" if vit_mod.INFER_MLP_LNOUT else "none")
+
+    # a mode change clears jit caches: an @jax.jit graph traced under the
+    # old mode must retrace after the switch
+    traces = []
+
+    @jax.jit
+    def f(x):
+        traces.append(vit_mod.INFER_MLP_LNOUT)
+        return x * (3.0 if vit_mod.INFER_MLP_LNOUT else 2.0)
+
+    vit_mod.set_infer_mlp("none")
+    x = jnp.ones((2,), jnp.float32)
+    assert float(f(x)[0]) == 2.0 and len(traces) == 1
+    vit_mod.set_infer_mlp("lnout")
+    assert float(f(x)[0]) == 3.0 and len(traces) == 2
+    vit_mod.set_infer_mlp("auto")
