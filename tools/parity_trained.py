@@ -59,6 +59,13 @@ def main():
     ap.add_argument("--image_size", type=int, default=384)
     ap.add_argument("--method", default="ours")
     ap.add_argument("--crop", type=int, default=1)
+    ap.add_argument("--infer_mlp", default="auto",
+                    help="models/vit.set_infer_mlp mode for OUR stack: "
+                         "'none' isolates the stack-exactness bound (stock "
+                         "XLA, exact erf); 'auto' measures the shipped "
+                         "route's envelope (r5: the lnout kernel's Eigen "
+                         "erf flips Otsu-boundary pixels at peaked "
+                         "attention)")
     args = ap.parse_args()
 
     import torch
@@ -72,6 +79,8 @@ def main():
     from vit_ocm_wmsegmentation_tpu.models.vit import ViTConfig
     from vit_ocm_wmsegmentation_tpu.train import checkpoint as ckpt
     import ref_validate
+
+    vit.set_infer_mlp(args.infer_mlp)
 
     # ---- restore the trained MIM encoder (depth-4, reference geometry) ----
     # restore_checkpoint_raw restores to host numpy, so a TPU-written
