@@ -489,3 +489,33 @@ def test_set_infer_mlp_choices_and_cache_clear(monkeypatch):
     vit_mod.set_infer_mlp("lnout")
     assert float(f(x)[0]) == 3.0 and len(traces) == 2
     vit_mod.set_infer_mlp("auto")
+
+
+def test_infer_mlp_lnout_pure_dp_mesh_matches_single_device():
+    """On a pure-dp kernel mesh the lnout route rides dp_island with
+    n_out=2; the forward must equal the no-mesh lnout forward exactly
+    (r5: multi-chip pure-dp masks match single-chip)."""
+    from vit_ocm_wmsegmentation_tpu.models import vit
+    from vit_ocm_wmsegmentation_tpu.parallel import mesh as pmesh
+
+    cfg = ViTConfig(patch_size=8, embed_dim=32, depth=3, num_heads=2,
+                    pretrain_img_size=32)
+    params = vit.init(cfg, jax.random.PRNGKey(2))
+    rng = np.random.default_rng(7)
+    # batch 3: indivisible by the 2-device mesh -> exercises the pad path
+    x = jnp.asarray(rng.random((3, 32, 32, 3), dtype=np.float32))
+
+    saved = (vit_mod.INFER_MLP_LNOUT, vit_mod.FUSED_MLP_INTERPRET)
+    vit_mod.INFER_MLP_LNOUT, vit_mod.FUSED_MLP_INTERPRET = True, True
+    try:
+        want = vit.forward_features(params, cfg, x)
+        m = pmesh.make_mesh(data=2)
+        with pmesh.kernel_mesh_scope(m):
+            got = vit.forward_features(params, cfg, x)
+        # the attention path reduces in a different order under shard_map;
+        # feature-level equality is fp-noise-tolerant (masks, which
+        # quantize, are asserted bit-equal by dryrun_multichip)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+    finally:
+        vit_mod.INFER_MLP_LNOUT, vit_mod.FUSED_MLP_INTERPRET = saved

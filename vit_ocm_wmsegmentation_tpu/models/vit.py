@@ -218,9 +218,9 @@ INFER_MLP_KERNEL = _SHIPPED_INFER_MLP_KERNEL
 # plain-kernel route's lost LN1 stats stay in VMEM — the unrolled
 # inference loop threads z = LN_next(out) straight into the next qkv
 # projection, so no standalone LN pass over the 91 MB residual stream
-# remains (first layer excepted). Single-device / kernel-mesh-free only
-# (dp_island is single-output; meshes take the stock route — on a
-# multi-chip mesh masks therefore match the stock route, not this one).
+# remains (first layer excepted). Engages single-device AND on pure-dp
+# kernel meshes (dp_island n_out=2, so multi-chip pure-dp masks match
+# single-chip); tp>1 meshes take the partitionable stock route.
 # Shipped TRUE by the r5 on-chip A/B (tools/probe_infer_mlp.py, arms
 # interleaved with cache clearing — see set_infer_mlp for why that
 # matters): 99.49 vs 109.71 ms/mosaic, x2 reproduced to 0.01 ms —
@@ -561,14 +561,16 @@ def _block_forward(bp, cfg: ViTConfig, x, *, impl="auto", n_valid=None,
 
 
 def _lnout_available():
-    """INFER_MLP_LNOUT route gate: kernel-capable backend, no kernel mesh
-    (dp_island is single-output, so meshes keep the stock route)."""
-    from ..parallel.mesh import kernel_mesh
+    """INFER_MLP_LNOUT route gate: kernel-capable backend, and either no
+    kernel mesh or a pure-dp one (the kernel rides a dp_island with
+    n_out=2; tp>1 meshes keep the partitionable stock route, same policy
+    as every other Pallas dispatch)."""
+    from ..parallel.mesh import kernel_mesh, pure_dp
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     mesh = kernel_mesh()
     return ((on_tpu or FUSED_MLP_INTERPRET)
-            and (mesh is None or mesh.size == 1))
+            and (mesh is None or mesh.size == 1 or pure_dp(mesh)))
 
 
 def _block_forward_lnout(bp, next_norm1, cfg: ViTConfig, x, h_pre, *,
@@ -581,10 +583,16 @@ def _block_forward_lnout(bp, next_norm1, cfg: ViTConfig, x, h_pre, *,
     the NEXT layer's normalized input, computed inside the kernel while
     the residual chunk is in VMEM (ops/fused_mlp.fused_mlp_block_lnout).
     Semantics are identical to _block_forward + the next layer's LN1.
+    On a pure-dp kernel mesh both kernel calls ride a dp_island over the
+    tile axis (n_out=2 for the (out, z) pair), so multi-chip pure-dp
+    inference takes the same route — and produces the same masks — as
+    single-chip.
     """
     from ..ops import fused_mlp as fm
+    from ..parallel.mesh import dp_island, kernel_mesh, pure_dp
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
+    mesh = kernel_mesh()
     h = h_pre if h_pre is not None else nn.layer_norm(bp["norm1"], x,
                                                       cfg.ln_eps)
     y = att.mha_auto(h, bp["attn"], cfg.num_heads, n_valid=n_valid,
@@ -596,13 +604,24 @@ def _block_forward_lnout(bp, next_norm1, cfg: ViTConfig, x, h_pre, *,
                 bp["mlp"]["w1"], bp["mlp"]["b1"],
                 bp["mlp"]["w2"], bp["mlp"]["b2"])
     if next_norm1 is None:
-        out = fm.fused_mlp_block(x.reshape(-1, d), *mlp_args, cfg.ln_eps,
-                                 br, not on_tpu)
-        return out.reshape(x.shape), None
-    out, z = fm.fused_mlp_block_lnout(
-        x.reshape(-1, d), *mlp_args, next_norm1["scale"],
-        next_norm1["bias"], cfg.ln_eps, br, not on_tpu)
-    return out.reshape(x.shape), z.reshape(x.shape)
+        def _last(xx, *a):
+            out = fm.fused_mlp_block(xx.reshape(-1, d), *a, cfg.ln_eps,
+                                     br, not on_tpu)
+            return out.reshape(xx.shape)
+
+        if pure_dp(mesh):
+            return dp_island(_last, mesh, x, *mlp_args), None
+        return _last(x, *mlp_args), None
+
+    def _pair(xx, *a):
+        o, z = fm.fused_mlp_block_lnout(xx.reshape(-1, d), *a, cfg.ln_eps,
+                                        br, not on_tpu)
+        return o.reshape(xx.shape), z.reshape(xx.shape)
+
+    args = mlp_args + (next_norm1["scale"], next_norm1["bias"])
+    if pure_dp(mesh):
+        return dp_island(_pair, mesh, x, *args, n_out=2)
+    return _pair(x, *args)
 
 
 def _scan_blocks(params, cfg: ViTConfig, x, lo: int, hi: int, *, impl="auto",

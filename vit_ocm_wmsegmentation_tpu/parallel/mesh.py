@@ -201,7 +201,7 @@ def pure_dp(mesh) -> bool:
     )
 
 
-def dp_island(fn, mesh, x, *replicated):
+def dp_island(fn, mesh, x, *replicated, n_out: int = 1):
     """Run ``fn(x_shard, *replicated)`` as a jax.shard_map island over the
     mesh's 'data' axis on x's leading dim.
 
@@ -214,6 +214,11 @@ def dp_island(fn, mesh, x, *replicated):
     cotangent is zero, so replicated-operand grads are untouched — and the
     output sliced back. fn's output must be row-aligned with its input
     (same leading dim), which holds for every kernel here.
+
+    n_out > 1: fn returns a tuple of n_out arrays, each row-aligned with x
+    and of the same rank (the lnout inference kernel returns (out, z),
+    both (B, N, D)); every output gets the same data-sharded spec and the
+    same pad-slice treatment.
     """
     import jax.numpy as jnp
 
@@ -222,11 +227,14 @@ def dp_island(fn, mesh, x, *replicated):
     bp = -(-b // data) * data
     xp = jnp.pad(x, ((0, bp - b),) + ((0, 0),) * (x.ndim - 1)) if bp != b else x
     spec = P(*(["data"] + [None] * (x.ndim - 1)))
+    out_specs = spec if n_out == 1 else tuple(spec for _ in range(n_out))
     out = jax.shard_map(
         fn, mesh=mesh,
         in_specs=(spec,) + (P(),) * len(replicated),
-        out_specs=spec, check_vma=False)(xp, *replicated)
-    return out[:b] if bp != b else out
+        out_specs=out_specs, check_vma=False)(xp, *replicated)
+    if bp != b:
+        out = out[:b] if n_out == 1 else tuple(o[:b] for o in out)
+    return out
 
 
 def is_main_process() -> bool:
