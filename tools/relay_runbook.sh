@@ -58,6 +58,12 @@ echo "== bench $(date -u)" > /tmp/bench_relay.log
 python bench.py >> /tmp/bench_relay.log 2>&1
 echo "EXIT:$?" >> /tmp/bench_relay.log
 
+# inference MLP route A/B (r5): stock vs plain-kernel vs cross-layer
+# lnout, interleaved with cache clearing (set_infer_mlp) + mask gate
+echo "== infer_mlp probe $(date -u)" > /tmp/infer_mlp.log
+python tools/probe_infer_mlp.py --arms stock kernel lnout --iters 60   >> /tmp/infer_mlp.log 2>&1
+echo "EXIT:$?" >> /tmp/infer_mlp.log
+
 # band_chunk sweep at a moderate size (62 bands): measures the per-dispatch
 # relay share the chunked sweep removes. NOTE: each new K pays one fresh
 # compile of the K-band graph (+ one for the tail chunk) — the first run's
